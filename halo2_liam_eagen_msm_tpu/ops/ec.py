@@ -1,0 +1,287 @@
+"""Batched Jacobian-coordinate elliptic curve ops on TPU.
+
+TPU-native equivalent of the halo2curves `CurveExt` group law the reference
+leans on (SURVEY.md L0; jacobian_coordinates usage at
+/root/reference/src/regular_functions_utils.rs:229,337).  Differences by
+design:
+
+  * points are structure-of-arrays (X, Y, Z) limb tensors, batched over
+    leading axes — not objects
+  * the group law is branchless-complete: the doubling / identity / inverse
+    cases are computed in parallel and mask-selected, because data-dependent
+    branches don't exist under jit
+  * identity is encoded as Z == 0 (matching halo2curves' Jacobian convention)
+
+All curves used here (Pallas, Vesta, Grumpkin) have a = 0; the doubling
+formula exploits that statically when possible.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import CurveSpec, N_LIMBS
+from ..limbs import int_to_mont_limbs, ints_to_mont_limbs, mont_limbs_to_ints
+from .ff import FF, ff
+
+
+class JPoint(NamedTuple):
+    """Jacobian point: affine = (x/z^2, y/z^3); identity iff z == 0."""
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+
+class EC:
+    def __init__(self, curve: CurveSpec):
+        self.curve = curve
+        self.f: FF = ff(curve.field)
+        self.a_is_zero = curve.a == 0
+        self.a_const = self.f.const(curve.a)
+        self.b_const = self.f.const(curve.b)
+
+    # ------------------------------------------------------------- structure
+    def identity(self, shape=()) -> JPoint:
+        f = self.f
+        one = jnp.broadcast_to(f.one, shape + (N_LIMBS,))
+        zero = jnp.zeros(shape + (N_LIMBS,), dtype=jnp.uint32)
+        return JPoint(one, one, zero)
+
+    def generator(self, shape=()) -> JPoint:
+        f = self.f
+        gx = jnp.broadcast_to(f.const(self.curve.gen_x), shape + (N_LIMBS,))
+        gy = jnp.broadcast_to(f.const(self.curve.gen_y), shape + (N_LIMBS,))
+        one = jnp.broadcast_to(f.one, shape + (N_LIMBS,))
+        return JPoint(gx, gy, one)
+
+    def is_identity(self, p: JPoint):
+        return self.f.is_zero(p.z)
+
+    def select(self, mask, p: JPoint, q: JPoint) -> JPoint:
+        s = self.f.select
+        return JPoint(s(mask, p.x, q.x), s(mask, p.y, q.y), s(mask, p.z, q.z))
+
+    def neg(self, p: JPoint) -> JPoint:
+        return JPoint(p.x, self.f.neg(p.y), p.z)
+
+    def eq(self, p: JPoint, q: JPoint):
+        """Projective equality (identity-aware)."""
+        f = self.f
+        z1z1, z2z2 = f.sqr(p.z), f.sqr(q.z)
+        x_eq = f.eq(f.mul(p.x, z2z2), f.mul(q.x, z1z1))
+        y_eq = f.eq(f.mul(p.y, f.mul(q.z, z2z2)), f.mul(q.y, f.mul(p.z, z1z1)))
+        id1, id2 = self.is_identity(p), self.is_identity(q)
+        return jnp.where(id1 | id2, id1 == id2, x_eq & y_eq)
+
+    # ------------------------------------------------------------- group law
+    def double(self, p: JPoint) -> JPoint:
+        """dbl-2009-l (a = 0) / generic M = 3X^2 + aZ^4.  Identity-safe:
+        Z3 = 2YZ = 0 when Z = 0."""
+        f = self.f
+        A = f.sqr(p.x)
+        B = f.sqr(p.y)
+        C = f.sqr(B)
+        t = f.sqr(f.add(p.x, B))
+        D = f.double(f.sub(f.sub(t, A), C))
+        E = f.add(f.double(A), A)
+        if not self.a_is_zero:
+            z4 = f.sqr(f.sqr(p.z))
+            E = f.add(E, f.mul(self.a_const, z4))
+        F = f.sqr(E)
+        x3 = f.sub(F, f.double(D))
+        y3 = f.sub(f.mul(E, f.sub(D, x3)), f.double(f.double(f.double(C))))
+        z3 = f.double(f.mul(p.y, p.z))
+        return JPoint(x3, y3, z3)
+
+    def add(self, p: JPoint, q: JPoint) -> JPoint:
+        """Branchless complete addition (add-2007-bl + mask dispatch)."""
+        f = self.f
+        z1z1, z2z2 = f.sqr(p.z), f.sqr(q.z)
+        u1 = f.mul(p.x, z2z2)
+        u2 = f.mul(q.x, z1z1)
+        s1 = f.mul(p.y, f.mul(q.z, z2z2))
+        s2 = f.mul(q.y, f.mul(p.z, z1z1))
+        h = f.sub(u2, u1)
+        r = f.sub(s2, s1)
+        hh = f.sqr(h)
+        hhh = f.mul(h, hh)
+        v = f.mul(u1, hh)
+        x3 = f.sub(f.sub(f.sqr(r), hhh), f.double(v))
+        y3 = f.sub(f.mul(r, f.sub(v, x3)), f.mul(s1, hhh))
+        z3 = f.mul(f.mul(p.z, q.z), h)
+        gen = JPoint(x3, y3, z3)
+
+        id1, id2 = self.is_identity(p), self.is_identity(q)
+        h0 = f.is_zero(h)
+        r0 = f.is_zero(r)
+        dbl = self.double(p)
+
+        out = gen
+        # same x: either double (same y) or identity (opposite y)
+        out = self.select(h0 & r0, dbl, out)
+        ident = self.identity(jnp.broadcast_shapes(p.z.shape[:-1], q.z.shape[:-1]))
+        out = self.select(h0 & ~r0, ident, out)
+        # identity operands (masks override the h0 cases above)
+        out = self.select(id2 & ~id1, p, out)
+        out = self.select(id1 & ~id2, q, out)
+        out = self.select(id1 & id2, ident, out)
+        return out
+
+    def add_mixed(self, p: JPoint, qx, qy, q_is_identity):
+        """p + affine(qx, qy) — cheaper than full add (madd-2007-bl).
+
+        q_is_identity: (...,) bool mask for affine identity slots."""
+        f = self.f
+        z1z1 = f.sqr(p.z)
+        u2 = f.mul(qx, z1z1)
+        s2 = f.mul(qy, f.mul(p.z, z1z1))
+        h = f.sub(u2, p.x)
+        r = f.sub(s2, p.y)
+        hh = f.sqr(h)
+        hhh = f.mul(h, hh)
+        v = f.mul(p.x, hh)
+        x3 = f.sub(f.sub(f.sqr(r), hhh), f.double(v))
+        y3 = f.sub(f.mul(r, f.sub(v, x3)), f.mul(p.y, hhh))
+        z3 = f.mul(p.z, h)
+        gen = JPoint(x3, y3, z3)
+
+        id1 = self.is_identity(p)
+        id2 = q_is_identity
+        h0 = f.is_zero(h)
+        r0 = f.is_zero(r)
+        dbl = self.double(p)
+        q_jac = JPoint(qx, qy, jnp.broadcast_to(f.one, qx.shape))
+
+        out = gen
+        out = self.select(h0 & r0, dbl, out)
+        ident = self.identity(p.z.shape[:-1])
+        out = self.select(h0 & ~r0, ident, out)
+        out = self.select(id2 & ~id1, p, out)
+        out = self.select(id1 & ~id2, q_jac, out)
+        out = self.select(id1 & id2, ident, out)
+        return out
+
+    # ----------------------------------------------------------- conversions
+    def to_affine(self, p: JPoint):
+        """Batched Jacobian -> affine via Montgomery-trick inversion.
+        Identity maps to (0, 0) with its mask returned.
+        Mirrors the zinv normalization at
+        /root/reference/src/regular_functions_utils.rs:228-233."""
+        f = self.f
+        flat_z = p.z.reshape(-1, N_LIMBS)
+        zinv = f.batch_inv(flat_z, axis=0).reshape(p.z.shape)
+        zinv2 = f.sqr(zinv)
+        x = f.mul(p.x, zinv2)
+        y = f.mul(p.y, f.mul(zinv, zinv2))
+        ident = self.is_identity(p)
+        x = f.select(ident, jnp.zeros_like(x), x)
+        y = f.select(ident, jnp.zeros_like(y), y)
+        return x, y, ident
+
+    def from_affine(self, x, y, is_ident=None) -> JPoint:
+        f = self.f
+        one = jnp.broadcast_to(f.one, x.shape)
+        z = one
+        if is_ident is not None:
+            z = f.select(is_ident, jnp.zeros_like(z), z)
+        return JPoint(x, y, z)
+
+    def projective_coords(self, p: JPoint):
+        """Jacobian -> homogeneous projective (X*Z, Y, Z^3): the coordinate
+        change used by linefunc (/root/reference/src/regular_functions_utils.rs:426-431)."""
+        f = self.f
+        zsq = f.sqr(p.z)
+        return f.mul(p.x, p.z), p.y, f.mul(p.z, zsq)
+
+    # ------------------------------------------------------------ arithmetic
+    def scalar_mul_small(self, p: JPoint, k: int) -> JPoint:
+        """p * k for small static k (double-and-add; used for carry*base,
+        /root/reference/src/argument_witness_calc.rs:118)."""
+        assert k >= 0
+        if k == 0:
+            return self.identity(p.z.shape[:-1])
+        acc = p
+        for bit in bin(k)[3:]:
+            acc = self.double(acc)
+            if bit == "1":
+                acc = self.add(acc, p)
+        return acc
+
+    def sum(self, p: JPoint, axis: int = 0) -> JPoint:
+        """Reduce a batch of points along `axis`.
+
+        Structured as rounds of `lax.scan` over G-row blocks (the add body
+        compiles once per round) followed by a short unrolled tree — keeps
+        both the compiled graph small and the sequential-step count ~O(G log n)
+        instead of the reference's rayon chunk-fold
+        (/root/reference/src/regular_functions_utils.rs:707-719)."""
+        x, y, z = (jnp.moveaxis(c, axis, 0) for c in p)
+        n = x.shape[0]
+        UNROLL = 2
+        while n > UNROLL:
+            groups = min(64, -(-n // UNROLL))
+            w = -(-n // groups)
+            pad = groups * w - n
+            if pad:
+                idp = self.identity((pad,))
+                x = jnp.concatenate([x, idp.x], axis=0)
+                y = jnp.concatenate([y, idp.y], axis=0)
+                z = jnp.concatenate([z, idp.z], axis=0)
+            rows = JPoint(
+                x.reshape(groups, w, N_LIMBS),
+                y.reshape(groups, w, N_LIMBS),
+                z.reshape(groups, w, N_LIMBS),
+            )
+
+            def step(carry, row):
+                return self.add(carry, JPoint(*row)), None
+
+            acc, _ = jax.lax.scan(step, self.identity((w,)), tuple(rows))
+            x, y, z = acc.x, acc.y, acc.z
+            n = w
+        # unrolled tail tree
+        while n > 1:
+            half = n // 2
+            s = self.add(
+                JPoint(x[:half], y[:half], z[:half]),
+                JPoint(x[half:2 * half], y[half:2 * half], z[half:2 * half]),
+            )
+            if n % 2:
+                x = jnp.concatenate([s.x, x[2 * half:]], axis=0)
+                y = jnp.concatenate([s.y, y[2 * half:]], axis=0)
+                z = jnp.concatenate([s.z, z[2 * half:]], axis=0)
+                n = half + 1
+            else:
+                x, y, z = s.x, s.y, s.z
+                n = half
+        return JPoint(x[0], y[0], z[0])
+
+    # ------------------------------------------------------------ host utils
+    def points_from_ints(self, coords) -> JPoint:
+        """[(x, y) or None] (None = identity) -> batched JPoint (host-side)."""
+        spec = self.curve.field
+        xs = [c[0] if c else 0 for c in coords]
+        ys = [c[1] if c else 0 for c in coords]
+        idm = np.array([c is None for c in coords])
+        x = jnp.asarray(ints_to_mont_limbs(xs, spec))
+        y = jnp.asarray(ints_to_mont_limbs(ys, spec))
+        return self.from_affine(x, y, jnp.asarray(idm))
+
+    def points_to_ints(self, p: JPoint):
+        """Batched JPoint -> [(x, y) or None] (host-side)."""
+        x, y, ident = self.to_affine(p)
+        spec = self.curve.field
+        xs = mont_limbs_to_ints(np.asarray(x).reshape(-1, N_LIMBS), spec)
+        ys = mont_limbs_to_ints(np.asarray(y).reshape(-1, N_LIMBS), spec)
+        idm = np.asarray(ident).reshape(-1)
+        return [None if i else (xv, yv) for xv, yv, i in zip(xs, ys, idm)]
+
+
+@lru_cache(maxsize=None)
+def ec(curve: CurveSpec) -> EC:
+    return EC(curve)

@@ -1,0 +1,37 @@
+"""Test configuration: force pure-CPU JAX with an 8-device virtual mesh so
+sharding paths are exercised without TPU hardware (task spec / SURVEY.md §7
+step 8).
+
+Note: the environment's sitecustomize force-registers the axon TPU platform at
+interpreter startup (jax_platforms="axon,cpu"), so setting JAX_PLATFORMS in the
+env is not enough — we must override jax.config before any backend is used.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import random
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    """Deterministic RNG: the reference uses OsRng with no fixed seeds
+    (SURVEY.md §4), so vectors are regenerated from this seeded harness."""
+    return random.Random(0xEA6E4)
+
+
+@pytest.fixture
+def nprng():
+    return np.random.default_rng(0xEA6E4)

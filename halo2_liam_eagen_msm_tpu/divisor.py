@@ -1,0 +1,404 @@
+"""Regular functions and divisor witnesses — the core of the Eagen argument.
+
+TPU-native re-design of the reference's divisor-witness engine
+(/root/reference/src/regular_functions_utils.rs:220-551):
+
+  * RegularFunction a(x) + y*b(x) is a pair of coefficient tensors
+    (..., M, La, 16) / (..., M, Lb, 16) — batched over both the merge-tree
+    population M and any leading dims (e.g. the argument's digit rounds)
+  * `Propagation::group_merge`'s recursion + rayon `parallelize`
+    (:380-405) becomes a LEVEL-SYNCHRONOUS loop: each level merges all
+    consecutive pairs in one batched kernel; polynomial lengths double per
+    level and are statically padded (La_k = 2^k + 1, Lb_k = 2^k)
+  * data-dependent branches (identity points, degenerate lines, zero outputs)
+    become masks; absent points are identity-padded slots — the algebra
+    absorbs them exactly (empty propagations multiply in as the constant 1,
+    reference :324-326)
+
+Canonicalization note (documented spec): the reference builds line functions
+from *Jacobian-derived* projective coordinates (:284-303, :426-431), so its
+witness coefficients depend on halo2curves' internal Z values; only the
+divisor (zero set) is representation-independent.  This framework instead
+normalizes points to affine form first — line through (x1,y1,1), (x2,y2,1)
+(identity = (0,1,0)) via the same cross-product formulas — making witness
+coefficients a deterministic function of the input points.  The C++ oracle
+implements the identical normalization; correctness against the reference is
+established by the divisor property (witness vanishes on all inputs + output)
+which both conventions share.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fields import CurveSpec, N_LIMBS
+from .ops.ec import EC, JPoint, ec
+from .ops.ff import ff
+from .ops import poly as P
+
+
+class RF(NamedTuple):
+    """Batched regular function a(x) + y*b(x): coefficient tensors
+    (..., La, 16) and (..., Lb, 16)."""
+    a: jnp.ndarray
+    b: jnp.ndarray
+
+
+class Level(NamedTuple):
+    """One merge-tree level: M propagations (output point + witness)."""
+    out: JPoint     # coords (..., M, 16)
+    wtns: RF        # (..., M, La, 16), (..., M, Lb, 16)
+
+
+# ---------------------------------------------------------------------------
+# regular-function algebra (batched)
+# ---------------------------------------------------------------------------
+
+def rf_mul(curve: CurveSpec, f: RF, g: RF) -> RF:
+    """(a1 + y b1)(a2 + y b2) with y^2 = x^3 + A x + B substituted
+    (reference Mul impl :266-273)."""
+    spec = curve.field
+    k = ff(spec)
+    a = P.mul_auto(spec, f.a, g.a)
+    bb = P.mul_auto(spec, f.b, g.b)
+    subst = _subst_poly(curve)  # x^3 + A x + B, len 4
+    bb_s = P.mul_naive(spec, bb, jnp.broadcast_to(subst, bb.shape[:-2] + (4, N_LIMBS)))
+    a_out = P.add_padded(spec, a, bb_s)
+    ab = P.mul_auto(spec, f.a, g.b)
+    ba = P.mul_auto(spec, f.b, g.a)
+    b_out = P.add_padded(spec, ab, ba)
+    return RF(a_out, b_out)
+
+
+def _subst_poly(curve: CurveSpec):
+    k = ff(curve.field)
+    return np.stack(
+        [k.const(curve.b), k.const(curve.a), k.const(0), k.const(1)]
+    ).astype(np.uint32)
+
+
+def rf_eval(curve: CurveSpec, f: RF, x, y):
+    """Evaluate at affine (x, y) (reference ev_unchecked :235-237)."""
+    k = ff(curve.field)
+    return k.add(
+        P.eval_poly(curve.field, f.a, x),
+        k.mul(P.eval_poly(curve.field, f.b, x), y),
+    )
+
+
+def linefunc_affine(curve: CurveSpec, x1, y1, id1, x2, y2, id2):
+    """Line through two canonical projective points (x, y, 1) / (0, 1, 0)
+    for identity — cross-product coefficients (lx, ly, lz) with the line
+    being lx*X + ly*Y + lz (reference linefunc :284-303, affine-normalized
+    per the module docstring).  Returns (lx, ly, lz) limb tensors."""
+    k = ff(curve.field)
+    zero = jnp.zeros_like(x1)
+    one = jnp.broadcast_to(jnp.asarray(k.one), x1.shape)
+    ax = k.select(id1, zero, x1)
+    ay = k.select(id1, one, y1)
+    az = k.select(id1, zero, one)
+    bx = k.select(id2, zero, x2)
+    by = k.select(id2, one, y2)
+    bz = k.select(id2, zero, one)
+    lx = k.sub(k.mul(ay, bz), k.mul(az, by))
+    ly = k.sub(k.mul(az, bx), k.mul(ax, bz))
+    lz = k.sub(k.mul(ax, by), k.mul(ay, bx))
+    return lx, ly, lz
+
+
+def _line_rf(lx, ly, lz) -> RF:
+    """Line to regular function: a-poly [lz, lx], b-poly [ly]
+    (reference from_line :244-246)."""
+    return RF(
+        jnp.stack([lz, lx], axis=-2),
+        ly[..., None, :],
+    )
+
+
+# ---------------------------------------------------------------------------
+# seeds and merges
+# ---------------------------------------------------------------------------
+
+def _multi_affine(E: EC, pts_list):
+    """Affine-normalize several point batches with ONE shared batch inversion."""
+    f = E.f
+    zs = jnp.stack([p.z for p in pts_list])
+    flat = zs.reshape(-1, N_LIMBS)
+    zinv = f.batch_inv(flat, axis=0).reshape(zs.shape)
+    outs = []
+    for i, p in enumerate(pts_list):
+        zi = zinv[i]
+        zi2 = f.sqr(zi)
+        x = f.mul(p.x, zi2)
+        y = f.mul(p.y, f.mul(zi, zi2))
+        ident = E.is_identity(p)
+        outs.append((f.select(ident, jnp.zeros_like(x), x),
+                     f.select(ident, jnp.zeros_like(y), y),
+                     ident))
+    return outs
+
+
+def seeds(curve: CurveSpec, pts: JPoint) -> Level:
+    """Seed level from N points (N even; identity-pad if needed): consecutive
+    pairs via from_pair semantics (reference :328-331, :319-326, :453-464):
+
+      p1 != id             -> inputs {p1, p2}: line(p1, p2), output -(p1+p2)
+      p1 == id, p2 != id   -> from_point(p2): line(p2, -p2), output -p2
+      both id              -> empty: witness 1, output id
+
+    In all cases output = -(p1 + p2) since identity contributes nothing."""
+    E = ec(curve)
+    k = ff(curve.field)
+    p1 = _take_pts(pts, slice(0, None, 2))
+    p2 = _take_pts(pts, slice(1, None, 2))
+    id1 = E.is_identity(p1)
+    id2 = E.is_identity(p2)
+
+    out = E.neg(E.add(p1, p2))
+
+    # line arguments: (p1, p2) normally; (p2, -p2) when p1 is the identity
+    left = E.select(id1, p2, p1)
+    right = E.select(id1, E.neg(p2), p2)
+    (lxa, lya, ida), (lxb, lyb, idb) = _multi_affine(E, [left, right])
+    lx, ly, lz = linefunc_affine(curve, lxa, lya, ida, lxb, lyb, idb)
+
+    # degenerate: cross product vanished (projectively equal args, e.g. the
+    # tangent case p1 == p2): recompute through c = -(left + right)
+    deg = k.is_zero(lx) & k.is_zero(ly) & k.is_zero(lz)
+    cpt = E.neg(E.add(left, right))
+    (cx, cy, cid), = _multi_affine(E, [cpt])
+    lx2, ly2, lz2 = linefunc_affine(curve, lxa, lya, ida, cx, cy, cid)
+    lx = k.select(deg, lx2, lx)
+    ly = k.select(deg, ly2, ly)
+    lz = k.select(deg, lz2, lz)
+
+    # both-identity slots: witness is the constant 1 (empty propagation)
+    both = id1 & id2
+    one = jnp.broadcast_to(jnp.asarray(k.one), lx.shape)
+    zero = jnp.zeros_like(lx)
+    lx = k.select(both, zero, lx)
+    ly = k.select(both, zero, ly)
+    lz = k.select(both, one, lz)
+
+    return Level(out, _line_rf(lx, ly, lz))
+
+
+def _take_pts(p: JPoint, sl) -> JPoint:
+    return JPoint(p.x[..., sl, :], p.y[..., sl, :], p.z[..., sl, :])
+
+
+def _take_level(lv: Level, sl) -> Level:
+    return Level(
+        _take_pts(lv.out, sl),
+        RF(lv.wtns.a[..., sl, :, :], lv.wtns.b[..., sl, :, :]),
+    )
+
+
+def _pad_poly(arr, n):
+    cur = arr.shape[-2]
+    if cur == n:
+        return arr
+    return jnp.pad(arr, [(0, 0)] * (arr.ndim - 2) + [(0, n - cur), (0, 0)])
+
+
+def merge_pairs(curve: CurveSpec, a: Level, b: Level) -> Level:
+    """Batched Propagation::merge (reference :333-360): for each slot,
+      output = a.out + b.out
+      witness = a.wtns * b.wtns * line(-a.out, -b.out) / (x-ax)(x-bx)
+    with the division skipped (and the line set to 1) when either output is
+    the identity (:340-342)."""
+    E = ec(curve)
+    k = ff(curve.field)
+    spec = curve.field
+
+    out = E.add(a.out, b.out)
+    bypass = E.is_identity(a.out) | E.is_identity(b.out)
+
+    na, nb = E.neg(a.out), E.neg(b.out)
+    (nax, nay, naid), (nbx, nby, nbid) = _multi_affine(E, [na, nb])
+    lx, ly, lz = linefunc_affine(curve, nax, nay, naid, nbx, nby, nbid)
+
+    # degenerate line (equal points, e.g. -a.out == -b.out): through c = a+b
+    deg = k.is_zero(lx) & k.is_zero(ly) & k.is_zero(lz) & ~bypass
+    (cx, cy, cid), = _multi_affine(E, [out])
+    lx2, ly2, lz2 = linefunc_affine(curve, nax, nay, naid, cx, cy, cid)
+    lx = k.select(deg, lx2, lx)
+    ly = k.select(deg, ly2, ly)
+    lz = k.select(deg, lz2, lz)
+
+    # bypass slots: line = constant 1 so the product is just wtns_a * wtns_b
+    one = jnp.broadcast_to(jnp.asarray(k.one), lx.shape)
+    zero = jnp.zeros_like(lx)
+    lx = k.select(bypass, zero, lx)
+    ly = k.select(bypass, zero, ly)
+    lz = k.select(bypass, one, lz)
+
+    s = rf_mul(curve, b.wtns, _line_rf(lx, ly, lz))
+    num = rf_mul(curve, a.wtns, s)
+
+    # divide both components by (x - ax)(x - bx); ax/bx are the affine x of
+    # the (pre-negation) outputs — x is negation-invariant so nax/nbx serve
+    root_a = k.select(bypass, jnp.broadcast_to(jnp.asarray(k.one), nax.shape), nax)
+    root_b = k.select(bypass, jnp.broadcast_to(jnp.asarray(k.one), nbx.shape), nbx)
+    qa = P.kate_div(spec, P.kate_div(spec, num.a, root_a), root_b)
+    qb = P.kate_div(spec, P.kate_div(spec, num.b, root_a), root_b)
+
+    wa = k.select(bypass[..., None], num.a, qa)
+    wb = k.select(bypass[..., None], num.b, qb)
+    return Level(out, RF(wa, wb))
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _merge_level_jit(curve: CurveSpec, a_sem: int, b_sem: int, lv: Level) -> Level:
+    """One level: merge consecutive pairs; odd tail passes through (padded).
+    a_sem/b_sem: the level's semantic (mathematically maximal) output lengths
+    — everything beyond is provably zero and trimmed to stop pad growth.
+    Static per (M, La, Lb) shape; reused across digit rounds/runs."""
+    m = lv.out.x.shape[-2]
+    m2 = m // 2
+    a = _take_level(lv, slice(0, 2 * m2, 2))
+    b = _take_level(lv, slice(1, 2 * m2, 2))
+    merged = merge_pairs(curve, a, b)
+    merged = Level(
+        merged.out,
+        RF(merged.wtns.a[..., :a_sem, :], merged.wtns.b[..., :b_sem, :]),
+    )
+    if m % 2:
+        tail = _take_level(lv, slice(2 * m2, m))
+        la = merged.wtns.a.shape[-2]
+        lb = merged.wtns.b.shape[-2]
+        merged = Level(
+            JPoint(
+                jnp.concatenate([merged.out.x, tail.out.x], axis=-2),
+                jnp.concatenate([merged.out.y, tail.out.y], axis=-2),
+                jnp.concatenate([merged.out.z, tail.out.z], axis=-2),
+            ),
+            RF(
+                jnp.concatenate(
+                    [merged.wtns.a, _pad_poly(tail.wtns.a, la)], axis=-3
+                ),
+                jnp.concatenate(
+                    [merged.wtns.b, _pad_poly(tail.wtns.b, lb)], axis=-3
+                ),
+            ),
+        )
+    return merged
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _seeds_jit(curve: CurveSpec, pts: JPoint) -> Level:
+    return seeds(curve, pts)
+
+
+def compute_divisor_witness_partial(curve: CurveSpec, pts: JPoint):
+    """Batched equivalent of the reference's compute_divisor_witness_partial
+    (:453-467): returns (RF witness, output point) with output = -(sum pts).
+    pts: JPoint with coords (..., N, 16); N odd is handled by identity
+    padding (equivalent to the reference's from_point odd tail).
+
+    The witness vanishes at every non-identity input and at the output."""
+    n = pts.x.shape[-2]
+    if n == 0:
+        raise ValueError("empty point list")
+    if n % 2:
+        E = ec(curve)
+        idp = E.identity(pts.x.shape[:-2] + (1,))
+        pts = JPoint(
+            jnp.concatenate([pts.x, idp.x], axis=-2),
+            jnp.concatenate([pts.y, idp.y], axis=-2),
+            jnp.concatenate([pts.z, idp.z], axis=-2),
+        )
+    lv = _seeds_jit(curve, pts)
+    b_sem = 1  # seeds: a-len 2, b-len 1
+    while lv.out.x.shape[-2] > 1:
+        b_sem = 2 * b_sem
+        lv = _merge_level_jit(curve, b_sem + 1, b_sem, lv)
+    out = JPoint(
+        lv.out.x[..., 0, :], lv.out.y[..., 0, :], lv.out.z[..., 0, :]
+    )
+    wtns = RF(lv.wtns.a[..., 0, :, :], lv.wtns.b[..., 0, :, :])
+    return wtns, out
+
+
+def compute_divisor_witness(curve: CurveSpec, pts: JPoint) -> RF:
+    """Reference compute_divisor_witness (:476-480): panics unless the points
+    sum to zero (output == identity)."""
+    wtns, out = compute_divisor_witness_partial(curve, pts)
+    E = ec(curve)
+    ok = np.asarray(E.is_identity(out))
+    if not ok.all():
+        raise AssertionError("points do not sum to the identity")
+    return wtns
+
+
+# ---------------------------------------------------------------------------
+# naive line-arrangement witness (second oracle; reference :483-551)
+# ---------------------------------------------------------------------------
+
+class Arrangement(NamedTuple):
+    """Lists of numerator (pos) and denominator (neg) lines, each a host-side
+    list of (lx, ly, lz) canonical int triples."""
+    pos: list
+    neg: list
+
+
+def compute_divisor_witness_naive_host(curve: CurveSpec, pts_ints) -> Arrangement:
+    """Host-side exact replica of compute_divisor_witness_naive (:502-551):
+    rounds of pairwise addition over pos/neg stacks (pop-from-end order as in
+    the reference), accumulating line functions; terminates when each side
+    has <= 1 point, with the same final assertions."""
+    from .utils import pyref
+
+    def line_ints(a, b):
+        # same canonical affine cross product as linefunc_affine
+        p = curve.field.p
+
+        def coords(pt):
+            return (0, 1, 0) if pt is None else (pt[0], pt[1], 1)
+
+        ax, ay, az = coords(a)
+        bx, by, bz = coords(b)
+        lx = (ay * bz - az * by) % p
+        ly = (az * bx - ax * bz) % p
+        lz = (ax * by - ay * bx) % p
+        if lx or ly or lz:
+            return (lx, ly, lz)
+        c = pyref.ec_neg(pyref.ec_add(a, b, curve), curve)
+        cx, cy, cz = coords(c)
+        return ((ay * cz - az * cy) % p, (az * cx - ax * cz) % p, (ax * cy - ay * cx) % p)
+
+    pos = list(pts_ints)
+    neg = []
+    ret_pos, ret_neg = [], []
+    tmp = []
+    while len(pos) > 1 or len(neg) > 1:
+        while len(pos) > 1:
+            inc1 = pos.pop()
+            if inc1 is not None:
+                tmp.append((inc1, pos.pop()))
+        for (x, y) in tmp:
+            q = pyref.ec_add(x, y, curve)
+            ret_pos.append(line_ints(x, y))
+            neg.append(pyref.ec_neg(q, curve))
+        tmp = []
+        while len(neg) > 1:
+            inc1 = neg.pop()
+            if inc1 is not None:
+                tmp.append((inc1, neg.pop()))
+        for (x, y) in tmp:
+            q = pyref.ec_add(x, y, curve)
+            ret_neg.append(line_ints(x, y))
+            pos.append(pyref.ec_neg(q, curve))
+        tmp = []
+    if len(pos) == 1 and not neg:
+        assert pos[0] is None
+    elif len(neg) == 1 and not pos:
+        assert neg[0] is None
+    elif len(pos) == 1 and len(neg) == 1:
+        assert pos[0] == neg[0]
+    return Arrangement(ret_pos, ret_neg)

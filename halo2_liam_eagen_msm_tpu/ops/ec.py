@@ -222,26 +222,27 @@ class EC:
         (/root/reference/src/regular_functions_utils.rs:707-719)."""
         x, y, z = (jnp.moveaxis(c, axis, 0) for c in p)
         n = x.shape[0]
+        batch = x.shape[1:-1]  # extra batch dims ride along
         UNROLL = 2
         while n > UNROLL:
             groups = min(64, -(-n // UNROLL))
             w = -(-n // groups)
             pad = groups * w - n
             if pad:
-                idp = self.identity((pad,))
+                idp = self.identity((pad,) + batch)
                 x = jnp.concatenate([x, idp.x], axis=0)
                 y = jnp.concatenate([y, idp.y], axis=0)
                 z = jnp.concatenate([z, idp.z], axis=0)
             rows = JPoint(
-                x.reshape(groups, w, N_LIMBS),
-                y.reshape(groups, w, N_LIMBS),
-                z.reshape(groups, w, N_LIMBS),
+                x.reshape((groups, w) + batch + (N_LIMBS,)),
+                y.reshape((groups, w) + batch + (N_LIMBS,)),
+                z.reshape((groups, w) + batch + (N_LIMBS,)),
             )
 
             def step(carry, row):
                 return self.add(carry, JPoint(*row)), None
 
-            acc, _ = jax.lax.scan(step, self.identity((w,)), tuple(rows))
+            acc, _ = jax.lax.scan(step, self.identity((w,) + batch), tuple(rows))
             x, y, z = acc.x, acc.y, acc.z
             n = w
         # unrolled tail tree

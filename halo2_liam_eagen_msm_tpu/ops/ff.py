@@ -28,7 +28,7 @@ import numpy as np
 from ..fields import FieldSpec, LIMB_BITS, LIMB_MASK, N_LIMBS
 from ..limbs import int_to_limbs
 
-MASK = jnp.uint32(LIMB_MASK)
+MASK = np.uint32(LIMB_MASK)
 U32 = jnp.uint32
 
 
@@ -45,25 +45,29 @@ class FF:
     def __init__(self, spec: FieldSpec):
         self.spec = spec
         p = spec.p
-        self.p_limbs = jnp.asarray(int_to_limbs(p), dtype=U32)
-        self.n0inv = jnp.uint32(spec.n0inv)
+        self.p_limbs = np.asarray(int_to_limbs(p), dtype=np.uint32)
+        self.n0inv = np.uint32(spec.n0inv)
         # mu = -p^-1 mod 2^256, for full-word Montgomery reduction
         mu = (-pow(p, -1, 1 << 256)) % (1 << 256)
-        self.mu_limbs = jnp.asarray(int_to_limbs(mu), dtype=U32)
-        self.zero = jnp.zeros((N_LIMBS,), dtype=U32)
-        self.one = jnp.asarray(int_to_limbs(spec.r_mod_p), dtype=U32)  # 1 in Mont form
-        self.r2 = jnp.asarray(int_to_limbs(spec.r2_mod_p), dtype=U32)
-        self.one_raw = jnp.asarray(int_to_limbs(1), dtype=U32)
+        self.mu_limbs = np.asarray(int_to_limbs(mu), dtype=np.uint32)
+        # (2^256 * R) mod p: folds the 17th limb of lazy column sums back in
+        # via one Montgomery multiply (see reduce_columns)
+        self.c256 = np.asarray(int_to_limbs(((1 << 256) * spec.r_mod_p) % p), dtype=np.uint32)
+        self.zero = np.zeros((N_LIMBS,), dtype=np.uint32)
+        self.one = np.asarray(int_to_limbs(spec.r_mod_p), dtype=np.uint32)  # 1 in Mont form
+        self.r2 = np.asarray(int_to_limbs(spec.r2_mod_p), dtype=np.uint32)
+        self.one_raw = np.asarray(int_to_limbs(1), dtype=np.uint32)
         # p-2 bits msb-first, for Fermat inversion
         e = p - 2
         bits = [(e >> i) & 1 for i in range(e.bit_length())][::-1]
-        self._inv_bits = jnp.asarray(bits, dtype=U32)
+        self._inv_bits = np.asarray(bits, dtype=np.uint32)
+        self._r_minus_p = np.asarray(int_to_limbs((1 << 256) - p), dtype=np.uint32)
 
     # ------------------------------------------------------------------ utils
     def const(self, x: int) -> jnp.ndarray:
         """Canonical int -> Montgomery limb constant (host-side conversion)."""
         from ..limbs import int_to_mont_limbs
-        return jnp.asarray(int_to_mont_limbs(x, self.spec), dtype=U32)
+        return np.asarray(int_to_mont_limbs(x, self.spec), dtype=np.uint32)
 
     @staticmethod
     def select(mask, x, y):
@@ -122,26 +126,37 @@ class FF:
         d, carry = self._normalize(cols + one0)
         return d, U32(1) - carry
 
-    def _add_nocarry(self, a, b):
-        """(a + b) mod 2^256 (carry out dropped; p < 2^255 so a+b < 2^256)."""
-        out, _ = self._normalize(a + b)
-        return out
-
-    def _cond_sub_p(self, s):
-        """s (...,16) < 2p -> s mod p, branchless."""
-        p = jnp.broadcast_to(self.p_limbs, s.shape)
-        d, borrow = self._sub_borrow(s, p)
-        return jnp.where((borrow == 1)[..., None], s, d)
+    def _norm_sub_p(self, cols):
+        """Normalize columns (value < 2p, cols < 2^29) AND reduce mod p with a
+        single carry network: the candidate and candidate-minus-p are stacked
+        on a new axis and normalized together; the carry bit of the second
+        lane decides which to keep.  One normalize where the naive pipeline
+        (normalize + compare/subtract) needs two — this trick halves the
+        field add/sub graphs, which dominate traced-op counts."""
+        rp = jnp.asarray(self._r_minus_p)  # 2^256 - p as 16 limbs
+        stacked = jnp.stack([cols, cols + rp], axis=-2)  # (..., 2, 16)
+        norm, carry = self._normalize(stacked)
+        take_sub = carry[..., 1] == 1  # value >= p
+        return jnp.where(take_sub[..., None], norm[..., 1, :], norm[..., 0, :])
 
     # --------------------------------------------------------------- add/sub
     def add(self, a, b):
-        """(a + b) mod p.  p < 2^255 so the 2^256 carry never fires."""
-        return self._cond_sub_p(self._add_nocarry(a, b))
+        """(a + b) mod p.  p < 2^255 so the sum is < 2p < 2^256."""
+        return self._norm_sub_p(a + b)
 
     def sub(self, a, b):
-        d, borrow = self._sub_borrow(a, b)
-        dp = self._add_nocarry(d, jnp.broadcast_to(self.p_limbs, d.shape))
-        return jnp.where((borrow == 1)[..., None], dp, d)
+        """(a - b) mod p via one stacked normalize: lane0 = a - b + 2^256
+        (carry <=> a >= b), lane1 = a - b + p + 2^256."""
+        base = a + (MASK - b)
+        one0 = jnp.pad(
+            jnp.ones(base.shape[:-1] + (1,), dtype=U32),
+            [(0, 0)] * (base.ndim - 1) + [(0, N_LIMBS - 1)],
+        )
+        lane0 = base + one0
+        lane1 = lane0 + jnp.asarray(self.p_limbs)
+        norm, carry = self._normalize(jnp.stack([lane0, lane1], axis=-2))
+        a_ge_b = carry[..., 0] == 1
+        return jnp.where(a_ge_b[..., None], norm[..., 0, :], norm[..., 1, :])
 
     def neg(self, a):
         """-a mod p (maps 0 -> 0)."""
@@ -205,18 +220,16 @@ class FF:
         # U = m * p (full product)
         u = self._prod_cols(m, jnp.broadcast_to(self.p_limbs, m.shape))
         # low halves cancel exactly: carry-out of (T_lo + U_lo) into column n
+        # (multi-bit: u's low columns are unnormalized)
         _, lo_carry = self._normalize(t_lo + u[..., :n])
-        # high half: T_hi + U_hi + carries, then final carry propagation
+        # high half: T_hi + U_hi + carries; value < 2p, so one stacked
+        # normalize-and-conditional-subtract finishes the reduction
         hi = t[..., n:] + u[..., n:]
         carry0 = jnp.pad(
             (lo_carry + t_lo_carry)[..., None],
             [(0, 0)] * (hi.ndim - 1) + [(0, n - 1)],
         )
-        res, top = self._normalize(hi + carry0)
-        # res < 2p (top is always 0 since 2p < 2^256); reduce once more if >= p
-        d, borrow = self._sub_borrow(res, jnp.broadcast_to(self.p_limbs, res.shape))
-        take_sub = (top == 1) | (borrow == 0)
-        return jnp.where(take_sub[..., None], d, res)
+        return self._norm_sub_p(hi + carry0)
 
     def sqr(self, a):
         return self.mul(a, a)
@@ -232,6 +245,50 @@ class FF:
             if bit == "1":
                 acc = self.add(acc, a)
         return acc
+
+    # --------------------------------------------------- lazy sums/reductions
+    def reduce_columns(self, cols):
+        """Reduce lazy uint32 column sums of Montgomery residues to a
+        canonical element in [0, p).
+
+        cols: (..., K) with K <= 17, columns < 2^30, total value < 2^271.
+        This is the amortized-reduction primitive behind convolution
+        anti-diagonal sums and wide dot products: sum limbs as integers,
+        reduce ONCE instead of per-addition.
+        """
+        k = cols.shape[-1]
+        assert k <= 17
+        if k < 17:
+            cols = jnp.pad(cols, [(0, 0)] * (cols.ndim - 1) + [(0, 17 - k)])
+        limbs, _ = self._normalize(cols)
+        lo = limbs[..., :16]
+        top = limbs[..., 16]
+        # lo mod p via one Montgomery multiply by (R mod p):
+        # mont_mul(lo, R mod p) = lo * R * R^-1 = lo (mod p), fully reduced
+        lo_red = self.mul(lo, jnp.broadcast_to(jnp.asarray(self.one), lo.shape))
+        top_el = jnp.pad(top[..., None], [(0, 0)] * (top.ndim) + [(0, 15)])
+        t1 = self.mul(top_el, jnp.broadcast_to(self.c256, top_el.shape))
+        return self.add(lo_red, t1)
+
+    def sum(self, a, axis: int = -2):
+        """Sum field elements along `axis` with lazy uint32 accumulation in
+        chunks of 4096 (columns stay < 2^28) + one reduction per chunk."""
+        a = jnp.moveaxis(a, axis, -2)
+        n = a.shape[-2]
+        while n > 1:
+            c = min(n, 4096)
+            pad = (-n) % c
+            if pad:
+                a = jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(0, pad), (0, 0)])
+            g = (n + pad) // c
+            cols = a.reshape(a.shape[:-2] + (g, c, N_LIMBS)).sum(-2, dtype=U32)
+            a = self.reduce_columns(cols)
+            n = g
+        return a[..., 0, :]
+
+    def dot(self, a, b, axis: int = -2):
+        """sum(mul(a, b)) along axis — Montgomery muls + lazy-reduced sum."""
+        return self.sum(self.mul(a, b), axis=axis)
 
     # ------------------------------------------------------- mont conversions
     def to_mont(self, a_raw):
@@ -257,7 +314,7 @@ class FF:
     def inv(self, a):
         """a^(p-2): Fermat inversion (inv(0) = 0). Uses fori_loop to keep the
         traced graph small; ~256 iterations of sqr + select-mul."""
-        bits = self._inv_bits
+        bits = jnp.asarray(self._inv_bits)  # device-side: fori_loop indexes it
         nbits = bits.shape[0]
 
         def body(i, acc):

@@ -11,13 +11,24 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
+    # opt level 0: the limb-arithmetic graphs take minutes to optimize on CPU
+    # and tests only need correctness; TPU benches use the default level.
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+        flags
+        + " --xla_force_host_platform_device_count=8"
+        + " --xla_backend_optimization_level=0"
     ).strip()
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the limb-arithmetic graphs are expensive to
+# compile on CPU; cache them across test runs.
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import random
 

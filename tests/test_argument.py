@@ -1,0 +1,80 @@
+"""Argument-witness orchestration tests — mirrors lhs_test
+(/root/reference/src/argument_witness_calc.rs:138-148) at CPU-testable sizes:
+the carry returned by compute_lhs_witness must equal the independent MSM
+oracle, and each digit round's witness must vanish on that round's points."""
+
+import numpy as np
+import pytest
+
+from halo2_liam_eagen_msm_tpu import argument as A
+from halo2_liam_eagen_msm_tpu.divisor import RF
+from halo2_liam_eagen_msm_tpu.fields import PALLAS
+from halo2_liam_eagen_msm_tpu.ops.ec import ec
+from halo2_liam_eagen_msm_tpu.ops.poly import Poly
+from halo2_liam_eagen_msm_tpu.utils import pyref, ref_divisor
+
+
+def test_helpers():
+    assert A.logb_ceil(0, 5) == 0
+    assert A.logb_ceil(1, 5) == 1
+    assert A.logb_ceil(24, 5) == 2
+    assert A.logb_ceil(25, 5) == 3
+    d = A.num_digits_for(PALLAS, 5)
+    assert d == 56  # log5(sqrt(p)) + 1 for a 255-bit modulus (layout.md:11: 55 digits for scalars; +1 safety)
+
+
+def test_lhs_witness_small(rng):
+    curve = PALLAS
+    E = ec(curve)
+    n, base = 8, 5
+    scalars = [A.gen_random_coeff(rng, curve.scalar_field) for _ in range(n)]
+    scalars[0] = 0  # zero scalar: all digits zero
+    pts_ints = pyref.random_points(rng, curve, n)
+    pts = E.points_from_ints(pts_ints)
+
+    carry, wtns, round_pts = A.compute_lhs_witness(curve, scalars, pts, base)
+
+    # oracle: carry == MSM (lhs_test :144-147)
+    got = E.points_to_ints(
+        type(carry)(carry.x[None], carry.y[None], carry.z[None])
+    )[0]
+    want = pyref.ec_msm(scalars, pts_ints, curve)
+    assert got == want
+
+    # witness rounds vanish on their round's points (sample a few rounds;
+    # round_pts is msb-first, wtns is reversed like the reference's Vec)
+    d = wtns.a.shape[0]
+    rp = [E.points_to_ints(
+        type(carry)(round_pts.x[i], round_pts.y[i], round_pts.z[i])
+    ) for i in range(d)]
+    for i in (0, 1, d // 2, d - 2, d - 1):
+        w = RF(wtns.a[d - 1 - i], wtns.b[d - 1 - i])  # undo the reversal
+        a = Poly.from_device(curve.field, np.asarray(w.a))
+        b = Poly.from_device(curve.field, np.asarray(w.b))
+        hrf = ref_divisor.HostRF(a, b)
+        for pt in rp[i]:
+            if pt is not None:
+                assert hrf.ev(curve, pt) == 0, f"round {i} fails at {pt}"
+
+
+def test_digit_budget(rng):
+    """Every scalar below sqrt(p)+2 must fit in num_digits_for digits — the
+    reference silently truncates at d (argument_witness_calc.rs:99); we
+    fail fast instead, so prove the budget suffices on extremes."""
+    import math
+    from halo2_liam_eagen_msm_tpu.negbase import negbase_decompose
+
+    curve = PALLAS
+    base = 5
+    d = A.num_digits_for(curve, base)
+    sq_p = math.isqrt(curve.scalar_field.p) + 2
+    # uniqueness argument: every x <= M_d (max value representable in d
+    # digits) has exactly its unique <=d-digit expansion; M_d covers sq_p
+    m_d = sum((base - 1) * base**i for i in range(0, d, 2))
+    assert m_d >= sq_p - 1
+    worst = 0
+    for x in [sq_p - 1, sq_p // 2, 2**127, 1, 0]:
+        worst = max(worst, len(negbase_decompose(x, base)))
+    for _ in range(200):
+        worst = max(worst, len(negbase_decompose(rng.randrange(sq_p), base)))
+    assert worst <= d

@@ -1,0 +1,140 @@
+"""Divisor-witness engine tests.
+
+Mirrors the reference's randpoints_witness_test (:650-662),
+witness_with_zeros_test (:664-671) and linefunc_test (:636-648) at CPU-testable
+sizes, plus coefficient-exact comparison between the batched TPU path and the
+host-int oracle (utils/ref_divisor)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from halo2_liam_eagen_msm_tpu import divisor as D
+from halo2_liam_eagen_msm_tpu.fields import GRUMPKIN, PALLAS, N_LIMBS
+from halo2_liam_eagen_msm_tpu.limbs import ints_to_mont_limbs, mont_limbs_to_ints
+from halo2_liam_eagen_msm_tpu.ops.ec import ec
+from halo2_liam_eagen_msm_tpu.ops.poly import Poly
+from halo2_liam_eagen_msm_tpu.utils import pyref, ref_divisor
+
+
+def closing_points(rng, curve, n):
+    """n random points plus the negated sum, so the total is the identity
+    (the construction used by randpoints_witness_test :652-657)."""
+    pts = pyref.random_points(rng, curve, n)
+    s = None
+    for p in pts:
+        s = pyref.ec_add(s, p, curve)
+    return pts + [pyref.ec_neg(s, curve)]
+
+
+def rf_to_host(curve, wtns, la=None, lb=None):
+    a = Poly.from_device(curve.field, np.asarray(wtns.a), la)
+    b = Poly.from_device(curve.field, np.asarray(wtns.b), lb)
+    return a, b
+
+
+def check_vanishes(curve, wtns, pts):
+    E = ec(curve)
+    spec = curve.field
+    host_a, host_b = rf_to_host(curve, wtns)
+    hrf = ref_divisor.HostRF(host_a, host_b)
+    for pt in pts:
+        if pt is None:
+            continue
+        assert hrf.ev(curve, pt) == 0, f"witness does not vanish at {pt}"
+
+
+@pytest.mark.parametrize("n", [4, 10, 16])
+def test_witness_vanishes(rng, n):
+    curve = PALLAS
+    pts = closing_points(rng, curve, n - 1)
+    E = ec(curve)
+    batch = E.points_from_ints(pts)
+    wtns = D.compute_divisor_witness(curve, batch)
+    check_vanishes(curve, wtns, pts)
+
+
+def test_witness_matches_host_oracle(rng):
+    """Coefficient-exact agreement between the batched TPU merge tree and the
+    host-int oracle (same canonical normalization, same pairing order)."""
+    curve = PALLAS
+    for n in (2, 4, 6, 7, 12):
+        pts = closing_points(rng, curve, n - 1)
+        E = ec(curve)
+        wtns, out = D.compute_divisor_witness_partial(curve, E.points_from_ints(pts))
+        hrf, hout = ref_divisor.divisor_witness_host(curve, pts)
+        assert hout is None
+        da = Poly.from_device(curve.field, np.asarray(wtns.a), len(hrf.a))
+        db = Poly.from_device(curve.field, np.asarray(wtns.b), len(hrf.b))
+        assert da.coeffs == hrf.a.coeffs, f"a coeffs n={n}"
+        assert db.coeffs == hrf.b.coeffs, f"b coeffs n={n}"
+        # trailing padded coefficients must be zero
+        extra_a = Poly.from_device(curve.field, np.asarray(wtns.a)).coeffs[len(hrf.a):]
+        assert all(c == 0 for c in extra_a)
+
+
+def test_witness_with_zeros(rng):
+    """Reference witness_with_zeros_test: identity points interspersed
+    (:664-671)."""
+    curve = PALLAS
+    a = pyref.random_point(rng, curve)
+    na = pyref.ec_neg(a, curve)
+    pts = [None, None, None, a, a, na, None, na, a, na]
+    E = ec(curve)
+    wtns = D.compute_divisor_witness(curve, E.points_from_ints(pts))
+    check_vanishes(curve, wtns, pts)
+    # host oracle agrees coefficient-for-coefficient
+    hrf, hout = ref_divisor.divisor_witness_host(curve, pts)
+    assert hout is None
+    da = Poly.from_device(curve.field, np.asarray(wtns.a), len(hrf.a))
+    assert da.coeffs == hrf.a.coeffs
+
+
+def test_partial_witness_output(rng):
+    """Non-closing points: output = -(sum), witness vanishes there too
+    (compute_divisor_witness_partial semantics :453-467)."""
+    curve = PALLAS
+    pts = pyref.random_points(rng, curve, 6)
+    E = ec(curve)
+    wtns, out = D.compute_divisor_witness_partial(curve, E.points_from_ints(pts))
+    s = None
+    for p in pts:
+        s = pyref.ec_add(s, p, curve)
+    want_out = pyref.ec_neg(s, curve)
+    got_out = E.points_to_ints(
+        type(out)(out.x[None], out.y[None], out.z[None])
+    )[0]
+    assert got_out == want_out
+    check_vanishes(curve, wtns, pts + [want_out])
+
+
+def test_batched_rounds(rng):
+    """Leading batch dim: D independent witnesses in one call — the shape the
+    argument layer uses for its digit rounds."""
+    curve = PALLAS
+    d, n = 3, 8
+    all_pts = [closing_points(rng, curve, n - 1) for _ in range(d)]
+    E = ec(curve)
+    batches = [E.points_from_ints(p) for p in all_pts]
+    stacked = type(batches[0])(
+        jnp.stack([b.x for b in batches]),
+        jnp.stack([b.y for b in batches]),
+        jnp.stack([b.z for b in batches]),
+    )
+    wtns = D.compute_divisor_witness(curve, stacked)
+    for i in range(d):
+        wa = wtns.a[i]
+        wb = wtns.b[i]
+        check_vanishes(curve, D.RF(wa, wb), all_pts[i])
+
+
+def test_naive_arrangement(rng):
+    """compute_divisor_witness_naive equivalent (reference :502-551,
+    randpoints_witness_naive_test :673-684)."""
+    curve = PALLAS
+    pts = closing_points(rng, curve, 19)
+    arr = D.compute_divisor_witness_naive_host(curve, pts)
+    assert len(arr.pos) > 0
+    # every line in pos/neg is a valid line: not all-zero
+    for (lx, ly, lz) in arr.pos + arr.neg:
+        assert lx or ly or lz

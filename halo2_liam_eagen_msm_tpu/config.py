@@ -1,0 +1,26 @@
+"""Global backend configuration.
+
+use_pallas(): whether the hot field/EC ops route through the Pallas TPU
+kernels (ops/pallas_ff.py) instead of the portable jnp limb path.  Auto mode
+enables them on any non-CPU backend; CPU tests keep the jnp path (which is
+also the semantic reference for the kernels)."""
+
+from __future__ import annotations
+
+import jax
+
+_USE_PALLAS: bool | None = None  # None = auto
+# below this flattened batch size the pallas block padding (1024) wastes more
+# than it saves; keep small ops on the jnp path
+PALLAS_MIN_BATCH = 256
+
+
+def set_use_pallas(v: bool | None) -> None:
+    global _USE_PALLAS
+    _USE_PALLAS = v
+
+
+def use_pallas() -> bool:
+    if _USE_PALLAS is not None:
+        return _USE_PALLAS
+    return jax.default_backend() != "cpu"

@@ -81,7 +81,13 @@ class EC:
     # ------------------------------------------------------------- group law
     def double(self, p: JPoint) -> JPoint:
         """dbl-2009-l (a = 0) / generic M = 3X^2 + aZ^4.  Identity-safe:
-        Z3 = 2YZ = 0 when Z = 0."""
+        Z3 = 2YZ = 0 when Z = 0.  One Pallas kernel on TPU."""
+        from .ff import _route_pallas
+
+        if _route_pallas(p.x):
+            from . import pallas_ff
+            ox, oy, oz = pallas_ff.ec_double(self.curve, p.x, p.y, p.z)
+            return JPoint(ox, oy, oz)
         f = self.f
         A = f.sqr(p.x)
         B = f.sqr(p.y)
@@ -99,7 +105,16 @@ class EC:
         return JPoint(x3, y3, z3)
 
     def add(self, p: JPoint, q: JPoint) -> JPoint:
-        """Branchless complete addition (add-2007-bl + mask dispatch)."""
+        """Branchless complete addition (add-2007-bl + mask dispatch).
+        On TPU the whole formula runs as one Pallas kernel."""
+        from .ff import _route_pallas
+
+        if _route_pallas(p.x, q.x):
+            from . import pallas_ff
+            ox, oy, oz = pallas_ff.ec_add(
+                self.curve, p.x, p.y, p.z, q.x, q.y, q.z
+            )
+            return JPoint(ox, oy, oz)
         f = self.f
         z1z1, z2z2 = f.sqr(p.z), f.sqr(q.z)
         u1 = f.mul(p.x, z2z2)
@@ -220,9 +235,28 @@ class EC:
         both the compiled graph small and the sequential-step count ~O(G log n)
         instead of the reference's rayon chunk-fold
         (/root/reference/src/regular_functions_utils.rs:707-719)."""
+        from .. import config as _cfg
+
         x, y, z = (jnp.moveaxis(c, axis, 0) for c in p)
         n = x.shape[0]
         batch = x.shape[1:-1]  # extra batch dims ride along
+        if _cfg.use_pallas():
+            # log-depth halving: each level is one wide Pallas add kernel
+            while n > 1:
+                half = n // 2
+                s = self.add(
+                    JPoint(x[:half], y[:half], z[:half]),
+                    JPoint(x[half:2 * half], y[half:2 * half], z[half:2 * half]),
+                )
+                if n % 2:
+                    x = jnp.concatenate([s.x, x[2 * half:]], axis=0)
+                    y = jnp.concatenate([s.y, y[2 * half:]], axis=0)
+                    z = jnp.concatenate([s.z, z[2 * half:]], axis=0)
+                    n = half + 1
+                else:
+                    x, y, z = s.x, s.y, s.z
+                    n = half
+            return JPoint(x[0], y[0], z[0])
         UNROLL = 2
         while n > UNROLL:
             groups = min(64, -(-n // UNROLL))
@@ -274,13 +308,23 @@ class EC:
         return self.from_affine(x, y, jnp.asarray(idm))
 
     def points_to_ints(self, p: JPoint):
-        """Batched JPoint -> [(x, y) or None] (host-side)."""
-        x, y, ident = self.to_affine(p)
+        """Batched JPoint -> [(x, y) or None].  Pure host math after the
+        device fetch (no device inversion graphs — keeps utility paths free
+        of expensive compiles)."""
         spec = self.curve.field
-        xs = mont_limbs_to_ints(np.asarray(x).reshape(-1, N_LIMBS), spec)
-        ys = mont_limbs_to_ints(np.asarray(y).reshape(-1, N_LIMBS), spec)
-        idm = np.asarray(ident).reshape(-1)
-        return [None if i else (xv, yv) for xv, yv, i in zip(xs, ys, idm)]
+        pp = spec.p
+        xs = mont_limbs_to_ints(np.asarray(p.x).reshape(-1, N_LIMBS), spec)
+        ys = mont_limbs_to_ints(np.asarray(p.y).reshape(-1, N_LIMBS), spec)
+        zs = mont_limbs_to_ints(np.asarray(p.z).reshape(-1, N_LIMBS), spec)
+        out = []
+        for x, y, z in zip(xs, ys, zs):
+            if z == 0:
+                out.append(None)
+                continue
+            zi = pow(z, pp - 2, pp)
+            zi2 = zi * zi % pp
+            out.append((x * zi2 % pp, y * zi2 * zi % pp))
+        return out
 
 
 @lru_cache(maxsize=None)

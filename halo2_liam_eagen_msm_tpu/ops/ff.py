@@ -32,6 +32,19 @@ MASK = np.uint32(LIMB_MASK)
 U32 = jnp.uint32
 
 
+def _route_pallas(*arrs) -> bool:
+    """True when the Pallas TPU kernels should handle this op: enabled by
+    config and the broadcast batch is large enough to amortize block padding."""
+    from .. import config as _cfg
+
+    if not _cfg.use_pallas():
+        return False
+    import math as _math
+
+    shape = jnp.broadcast_shapes(*(a.shape[:-1] for a in arrs))
+    return _math.prod(shape) >= _cfg.PALLAS_MIN_BATCH
+
+
 def _stack(cols, axis=-1):
     return jnp.stack(cols, axis=axis)
 
@@ -142,11 +155,17 @@ class FF:
     # --------------------------------------------------------------- add/sub
     def add(self, a, b):
         """(a + b) mod p.  p < 2^255 so the sum is < 2p < 2^256."""
+        if _route_pallas(a, b):
+            from . import pallas_ff
+            return pallas_ff.mont_addsub(self.spec, False, a, b)
         return self._norm_sub_p(a + b)
 
     def sub(self, a, b):
         """(a - b) mod p via one stacked normalize: lane0 = a - b + 2^256
         (carry <=> a >= b), lane1 = a - b + p + 2^256."""
+        if _route_pallas(a, b):
+            from . import pallas_ff
+            return pallas_ff.mont_addsub(self.spec, True, a, b)
         base = a + (MASK - b)
         one0 = jnp.pad(
             jnp.ones(base.shape[:-1] + (1,), dtype=U32),
@@ -209,7 +228,13 @@ class FF:
           m = (T mod R) * mu mod R     (mu = -p^-1 mod R)
           res = (T + m*p) / R          (exact division)
           res -= p if res >= p
+
+        Routes to the Pallas TPU kernel (same algorithm, register-major
+        layout, single fused op) for large batches on TPU.
         """
+        if _route_pallas(a, b):
+            from . import pallas_ff
+            return pallas_ff.mont_mul(self.spec, a, b)
         n = N_LIMBS
         t = self._prod_cols(a, b)  # (..., 2n) columns of a*b, < 2^22
         # normalize low half to get T mod R as 16-bit limbs

@@ -57,6 +57,19 @@ def prefix_scan_points(E: EC, p: JPoint, reverse: bool = False) -> JPoint:
     n = p.x.shape[0]
     if n == 1:
         return p
+    from .. import config as _cfg
+
+    if _cfg.use_pallas():
+        # each combine is one wide Pallas EC-add kernel: ~2*log2(n) launches
+        # of ~n/2-wide adds beats sqrt(n) thin sequential steps on TPU
+        return JPoint(
+            *jax.lax.associative_scan(
+                lambda a, b: tuple(E.add(JPoint(*a), JPoint(*b))),
+                tuple(p),
+                axis=0,
+                reverse=reverse,
+            )
+        )
     if reverse:
         rev = _take(p, jnp.arange(n - 1, -1, -1))
         out = prefix_scan_points(E, rev, reverse=False)
@@ -162,11 +175,16 @@ def best_multiexp(
     if c is None:
         c = pick_window(n)
     bits = max_scalar_bits or curve.scalar_field.p.bit_length()
-    return _best_multiexp_jit(curve, c, bits, scalars, pts)
+    # cap concurrent windows so the per-window prefix-scan buffers (~3x the
+    # point array each) stay within HBM at large N
+    wb = max(1, min(-(-bits // c), (1 << 24) // max(n, 1) or 1, 8))
+    return _best_multiexp_jit(curve, c, bits, wb, scalars, pts)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
-def _best_multiexp_jit(curve: CurveSpec, c: int, total_bits: int, scalars, pts: JPoint) -> JPoint:
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _best_multiexp_jit(
+    curve: CurveSpec, c: int, total_bits: int, window_batch: int, scalars, pts: JPoint
+) -> JPoint:
     E = ec(curve)
     n = scalars.shape[0]
     num_windows = -(-total_bits // c)
@@ -189,7 +207,16 @@ def _best_multiexp_jit(curve: CurveSpec, c: int, total_bits: int, scalars, pts: 
         sfx = prefix_scan_points(E, bucket, reverse=True)
         return E.sum(sfx, axis=0)
 
-    window_sums = jax.vmap(one_window)(digits)  # (W,) point batch
+    from .. import config as _cfg
+
+    if _cfg.use_pallas():
+        # sequential windows: the pallas kernels inside prefer plain shapes
+        # (each step is already a full-width batched kernel)
+        window_sums = jax.lax.map(one_window, digits)
+    elif window_batch >= num_windows:
+        window_sums = jax.vmap(one_window)(digits)  # (W,) point batch
+    else:
+        window_sums = jax.lax.map(one_window, digits, batch_size=window_batch)
 
     def fold(i, acc):
         acc = _double_n(E, acc, c)

@@ -1,0 +1,425 @@
+"""Pallas TPU kernels for field and curve arithmetic.
+
+This is the production compute path on TPU (the jnp limb path in ff.py/ec.py
+remains the portable/reference path used by CPU tests).  Two problems it
+solves, measured on v5e:
+
+  * the jnp (..., 16) limb layout puts limbs in the lane dimension — 16/128
+    lane occupancy and giant HLO graphs (hundreds of ops per field multiply,
+    minutes of XLA compile for MSM-sized programs)
+  * every field op round-trips HBM
+
+Here a field element batch lives REGISTER-MAJOR inside the kernel: a block is
+(16, 8, 128) uint32 — limb index in the leading (grid-less) axis, and each
+limb row exactly one VPU register (8 sublanes x 128 lanes).  A whole EC point
+addition (~25 Montgomery multiplies) is ONE pallas_call: inputs stream
+HBM->VMEM once, all temporaries stay on-chip, and the XLA graph shrinks to a
+single custom call per operation.
+
+Montgomery multiply inside the kernel is the same full-word algorithm as
+ff.FF.mul (hi/lo split 16x16 products, mu = -p^-1 mod R) but with plain
+sequential carry chains — cheap as in-register vector ops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields import CurveSpec, FieldSpec, LIMB_BITS, LIMB_MASK, N_LIMBS
+from ..limbs import int_to_limbs
+
+MASK = np.uint32(LIMB_MASK)
+BLOCK = 1024  # elements per block: (8, 128) lanes per limb row
+
+
+def _limbs_const(x: int):
+    return tuple(int(v) for v in int_to_limbs(x))
+
+
+class FieldConsts:
+    """Static per-field constants baked into kernels."""
+
+    def __init__(self, spec: FieldSpec):
+        self.spec = spec
+        self.p = _limbs_const(spec.p)
+        mu = (-pow(spec.p, -1, 1 << 256)) % (1 << 256)
+        self.mu = _limbs_const(mu)
+        self.one = _limbs_const(spec.r_mod_p)  # 1 in Montgomery form
+
+
+@functools.lru_cache(maxsize=None)
+def field_consts(spec: FieldSpec) -> FieldConsts:
+    return FieldConsts(spec)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel limb math: values are lists of 16 (8, 128) uint32 rows
+# ---------------------------------------------------------------------------
+
+def _rows(ref_block):
+    """(16, 8, 128) block -> list of 16 (8, 128) rows."""
+    return [ref_block[i] for i in range(N_LIMBS)]
+
+
+def _stackrows(rows):
+    return jnp.stack(rows, axis=0)
+
+
+def k_mul(C: FieldConsts, a, b):
+    """Montgomery product of two limb-row lists -> limb-row list."""
+    zero = jnp.zeros_like(a[0])
+    n = N_LIMBS
+    t = [zero] * (2 * n + 1)
+    for i in range(n):
+        ai = a[i]
+        for j in range(n):
+            pr = ai * b[j]
+            t[i + j] = t[i + j] + (pr & MASK)
+            t[i + j + 1] = t[i + j + 1] + (pr >> LIMB_BITS)
+    # normalize low half -> exact 16-bit limbs + multi-bit carry into col 16
+    tl = []
+    carry = zero
+    for k in range(n):
+        v = t[k] + carry
+        tl.append(v & MASK)
+        carry = v >> LIMB_BITS
+    t_lo_carry = carry
+    # m = low16(T_lo * mu)
+    mcols = [zero] * n
+    for i in range(n):
+        ti = tl[i]
+        for j in range(n - i):
+            pr = ti * np.uint32(C.mu[j])
+            mcols[i + j] = mcols[i + j] + (pr & MASK)
+            if i + j + 1 < n:
+                mcols[i + j + 1] = mcols[i + j + 1] + (pr >> LIMB_BITS)
+    m = []
+    carry = zero
+    for k in range(n):
+        v = mcols[k] + carry
+        m.append(v & MASK)
+        carry = v >> LIMB_BITS
+    # u = m * p (full)
+    u = [zero] * (2 * n + 1)
+    for i in range(n):
+        mi = m[i]
+        for j in range(n):
+            pr = mi * np.uint32(C.p[j])
+            u[i + j] = u[i + j] + (pr & MASK)
+            u[i + j + 1] = u[i + j + 1] + (pr >> LIMB_BITS)
+    # carry out of the (cancelling) low halves
+    carry = zero
+    for k in range(n):
+        v = tl[k] + u[k] + carry
+        carry = v >> LIMB_BITS
+    # high half
+    cols = [t[n + k] + u[n + k] for k in range(n + 1)]
+    cols[0] = cols[0] + carry + t_lo_carry
+    out = []
+    carry = zero
+    for k in range(n):
+        v = cols[k] + carry
+        out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    # cols[n] + carry is provably zero (result < 2p < 2^256)
+    return k_cond_sub_p(C, out)
+
+
+def k_cond_sub_p(C: FieldConsts, a):
+    """a < 2p -> a mod p."""
+    zero = jnp.zeros_like(a[0])
+    borrow = zero
+    d = []
+    for k in range(N_LIMBS):
+        v = a[k] + np.uint32(1 << LIMB_BITS) - np.uint32(C.p[k]) - borrow
+        d.append(v & MASK)
+        borrow = np.uint32(1) - (v >> LIMB_BITS)
+    ge = borrow == 0
+    return [jnp.where(ge, d[k], a[k]) for k in range(N_LIMBS)]
+
+
+def k_add(C: FieldConsts, a, b):
+    zero = jnp.zeros_like(a[0])
+    carry = zero
+    s = []
+    for k in range(N_LIMBS):
+        v = a[k] + b[k] + carry
+        s.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return k_cond_sub_p(C, s)
+
+
+def k_sub(C: FieldConsts, a, b):
+    zero = jnp.zeros_like(a[0])
+    borrow = zero
+    d = []
+    for k in range(N_LIMBS):
+        v = a[k] + np.uint32(1 << LIMB_BITS) - b[k] - borrow
+        d.append(v & MASK)
+        borrow = np.uint32(1) - (v >> LIMB_BITS)
+    und = borrow == 1
+    # add p back on underflow
+    carry = zero
+    dp = []
+    for k in range(N_LIMBS):
+        v = d[k] + np.uint32(C.p[k]) + carry
+        dp.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return [jnp.where(und, dp[k], d[k]) for k in range(N_LIMBS)]
+
+
+def k_double(C, a):
+    return k_add(C, a, a)
+
+
+def k_sqr(C, a):
+    return k_mul(C, a, a)
+
+
+def k_neg(C, a):
+    zero = [jnp.zeros_like(a[0])] * N_LIMBS
+    return k_sub(C, zero, a)
+
+
+def k_is_zero(a):
+    acc = a[0]
+    for k in range(1, N_LIMBS):
+        acc = acc | a[k]
+    return acc == 0
+
+
+def k_select(mask, a, b):
+    return [jnp.where(mask, x, y) for x, y in zip(a, b)]
+
+
+def k_const(C: FieldConsts, x_mont_limbs, like):
+    return [jnp.full_like(like, np.uint32(v)) for v in x_mont_limbs]
+
+
+# ---------------------------------------------------------------------------
+# EC formulas in kernel form (mirrors ops/ec.py exactly)
+# ---------------------------------------------------------------------------
+
+def k_ec_double(C: FieldConsts, curve: CurveSpec, X, Y, Z):
+    A = k_sqr(C, X)
+    B = k_sqr(C, Y)
+    Cc = k_sqr(C, B)
+    t = k_sqr(C, k_add(C, X, B))
+    D = k_double(C, k_sub(C, k_sub(C, t, A), Cc))
+    E3 = k_add(C, k_double(C, A), A)
+    if curve.a != 0:
+        z4 = k_sqr(C, k_sqr(C, Z))
+        a_const = k_const(C, _limbs_const((curve.a * (1 << 256)) % curve.field.p), X[0])
+        E3 = k_add(C, E3, k_mul(C, a_const, z4))
+    F = k_sqr(C, E3)
+    x3 = k_sub(C, F, k_double(C, D))
+    y3 = k_sub(C, k_mul(C, E3, k_sub(C, D, x3)),
+               k_double(C, k_double(C, k_double(C, Cc))))
+    z3 = k_double(C, k_mul(C, Y, Z))
+    return x3, y3, z3
+
+
+def k_ec_add(C: FieldConsts, curve: CurveSpec, X1, Y1, Z1, X2, Y2, Z2):
+    """Branchless complete Jacobian add (same mask dispatch as EC.add)."""
+    z1z1 = k_sqr(C, Z1)
+    z2z2 = k_sqr(C, Z2)
+    u1 = k_mul(C, X1, z2z2)
+    u2 = k_mul(C, X2, z1z1)
+    s1 = k_mul(C, Y1, k_mul(C, Z2, z2z2))
+    s2 = k_mul(C, Y2, k_mul(C, Z1, z1z1))
+    h = k_sub(C, u2, u1)
+    r = k_sub(C, s2, s1)
+    hh = k_sqr(C, h)
+    hhh = k_mul(C, h, hh)
+    v = k_mul(C, u1, hh)
+    x3 = k_sub(C, k_sub(C, k_sqr(C, r), hhh), k_double(C, v))
+    y3 = k_sub(C, k_mul(C, r, k_sub(C, v, x3)), k_mul(C, s1, hhh))
+    z3 = k_mul(C, k_mul(C, Z1, Z2), h)
+
+    id1 = k_is_zero(Z1)
+    id2 = k_is_zero(Z2)
+    h0 = k_is_zero(h)
+    r0 = k_is_zero(r)
+    dx, dy, dz = k_ec_double(C, curve, X1, Y1, Z1)
+
+    ox, oy, oz = x3, y3, z3
+    both0 = h0 & r0
+    ox = k_select(both0, dx, ox)
+    oy = k_select(both0, dy, oy)
+    oz = k_select(both0, dz, oz)
+    inv0 = h0 & ~r0
+    one = k_const(C, C.one, X1[0])
+    zero = [jnp.zeros_like(X1[0])] * N_LIMBS
+    ox = k_select(inv0, one, ox)
+    oy = k_select(inv0, one, oy)
+    oz = k_select(inv0, zero, oz)
+    # identity operands
+    ox = k_select(id2 & ~id1, X1, ox)
+    oy = k_select(id2 & ~id1, Y1, oy)
+    oz = k_select(id2 & ~id1, Z1, oz)
+    ox = k_select(id1 & ~id2, X2, ox)
+    oy = k_select(id1 & ~id2, Y2, oy)
+    oz = k_select(id1 & ~id2, Z2, oz)
+    both_id = id1 & id2
+    ox = k_select(both_id, one, ox)
+    oy = k_select(both_id, one, oy)
+    oz = k_select(both_id, zero, oz)
+    return ox, oy, oz
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+def _to_lm(x):
+    """(B, 16) -> (16, nb, 8, 128) limb-major blocks (B padded to BLOCK)."""
+    b = x.shape[0]
+    pad = (-b) % BLOCK
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    nb = (b + pad) // BLOCK
+    return x.T.reshape(N_LIMBS, nb, 8, 128)
+
+
+def _from_lm(y, b):
+    return y.reshape(N_LIMBS, -1).T[:b]
+
+
+def _block_spec():
+    return pl.BlockSpec(
+        (N_LIMBS, 1, 8, 128),
+        lambda i: (0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _flatten2(*arrs):
+    """Broadcast leading dims and flatten to (B, 16)."""
+    shape = jnp.broadcast_shapes(*(a.shape[:-1] for a in arrs))
+    flat = tuple(
+        jnp.broadcast_to(a, shape + (N_LIMBS,)).reshape(-1, N_LIMBS) for a in arrs
+    )
+    return shape, flat
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def mont_mul(spec: FieldSpec, a, b):
+    """(..., 16) x (..., 16) Montgomery product via one pallas kernel."""
+    C = field_consts(spec)
+    lead, (af, bf) = _flatten2(a, b)
+    n = af.shape[0]
+    al = _to_lm(af)
+    bl = _to_lm(bf)
+    nb = al.shape[1]
+
+    def kern(a_ref, b_ref, o_ref):
+        av = _rows(a_ref[:, 0])
+        bv = _rows(b_ref[:, 0])
+        o_ref[:, 0] = _stackrows(k_mul(C, av, bv))
+
+    out = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct(al.shape, jnp.uint32),
+        in_specs=[_block_spec()] * 2,
+        out_specs=_block_spec(),
+        interpret=_interpret(),
+    )(al, bl)
+    return _from_lm(out, n).reshape(lead + (N_LIMBS,))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def mont_addsub(spec: FieldSpec, is_sub: bool, a, b):
+    """(..., 16) +/- (..., 16) mod p via one pallas kernel."""
+    C = field_consts(spec)
+    lead, (af, bf) = _flatten2(a, b)
+    n = af.shape[0]
+    al = _to_lm(af)
+    bl = _to_lm(bf)
+    nb = al.shape[1]
+
+    def kern(a_ref, b_ref, o_ref):
+        av = _rows(a_ref[:, 0])
+        bv = _rows(b_ref[:, 0])
+        out = k_sub(C, av, bv) if is_sub else k_add(C, av, bv)
+        o_ref[:, 0] = _stackrows(out)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct(al.shape, jnp.uint32),
+        in_specs=[_block_spec()] * 2,
+        out_specs=_block_spec(),
+        interpret=_interpret(),
+    )(al, bl)
+    return _from_lm(out, n).reshape(lead + (N_LIMBS,))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def ec_add(curve: CurveSpec, x1, y1, z1, x2, y2, z2):
+    """Batched complete Jacobian addition as ONE pallas kernel.
+    Inputs/outputs (..., 16) uint32 Montgomery limbs."""
+    C = field_consts(curve.field)
+    lead, flat = _flatten2(x1, y1, z1, x2, y2, z2)
+    n = flat[0].shape[0]
+    ins = [_to_lm(v) for v in flat]
+    nb = ins[0].shape[1]
+
+    def kern(x1r, y1r, z1r, x2r, y2r, z2r, xo, yo, zo):
+        args = [_rows(r[:, 0]) for r in (x1r, y1r, z1r, x2r, y2r, z2r)]
+        ox, oy, oz = k_ec_add(C, curve, *args)
+        xo[:, 0] = _stackrows(ox)
+        yo[:, 0] = _stackrows(oy)
+        zo[:, 0] = _stackrows(oz)
+
+    shape = jax.ShapeDtypeStruct(ins[0].shape, jnp.uint32)
+    ox, oy, oz = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        out_shape=(shape, shape, shape),
+        in_specs=[_block_spec()] * 6,
+        out_specs=(_block_spec(),) * 3,
+        interpret=_interpret(),
+    )(*ins)
+    return tuple(
+        _from_lm(o, n).reshape(lead + (N_LIMBS,)) for o in (ox, oy, oz)
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def ec_double(curve: CurveSpec, x1, y1, z1):
+    C = field_consts(curve.field)
+    lead, flat = _flatten2(x1, y1, z1)
+    n = flat[0].shape[0]
+    ins = [_to_lm(v) for v in flat]
+    nb = ins[0].shape[1]
+
+    def kern(x1r, y1r, z1r, xo, yo, zo):
+        args = [_rows(r[:, 0]) for r in (x1r, y1r, z1r)]
+        ox, oy, oz = k_ec_double(C, curve, *args)
+        xo[:, 0] = _stackrows(ox)
+        yo[:, 0] = _stackrows(oy)
+        zo[:, 0] = _stackrows(oz)
+
+    shape = jax.ShapeDtypeStruct(ins[0].shape, jnp.uint32)
+    ox, oy, oz = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        out_shape=(shape, shape, shape),
+        in_specs=[_block_spec()] * 3,
+        out_specs=(_block_spec(),) * 3,
+        interpret=_interpret(),
+    )(*ins)
+    return tuple(
+        _from_lm(o, n).reshape(lead + (N_LIMBS,)) for o in (ox, oy, oz)
+    )

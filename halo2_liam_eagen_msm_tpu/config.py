@@ -10,9 +10,10 @@ from __future__ import annotations
 import jax
 
 _USE_PALLAS: bool | None = None  # None = auto
-# below this flattened batch size the pallas block padding (1024) wastes more
-# than it saves; keep small ops on the jnp path
-PALLAS_MIN_BATCH = 256
+# Minimum flattened batch for kernel routing.  One padded block (1024 lanes)
+# of wasted compute is still far cheaper than compiling/running the jnp limb
+# graph on TPU-class backends, so route everything once pallas is on.
+PALLAS_MIN_BATCH = 1
 
 
 def set_use_pallas(v: bool | None) -> None:

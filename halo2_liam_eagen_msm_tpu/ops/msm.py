@@ -48,6 +48,63 @@ def _take(p: JPoint, idx) -> JPoint:
     return JPoint(p.x[idx], p.y[idx], p.z[idx])
 
 
+def _blocked_prefix_wide(E: EC, p: JPoint) -> JPoint:
+    """Inclusive prefix sums, Pallas path: recursive blocked scan.
+
+    Each level runs a 64-step lax.scan whose body is ONE wide Pallas EC-add
+    over n/64 lanes, then recurses on the 64-fold-smaller block totals.  Few
+    kernel instances (fast compile on remote-compile backends), wide steps
+    (latency-tolerant), ~2.1n total adds."""
+    n = p.x.shape[0]
+    if n <= 64:
+        def step(carry, el):
+            nc = E.add(carry, JPoint(*el))
+            return nc, nc
+
+        _, pref = jax.lax.scan(step, E.identity(()), tuple(p))
+        return JPoint(*pref)
+    w = 64
+    g = -(-n // w)
+    pad = w * g - n
+    if pad:
+        idp = E.identity((pad,))
+        p = JPoint(
+            jnp.concatenate([p.x, idp.x]),
+            jnp.concatenate([p.y, idp.y]),
+            jnp.concatenate([p.z, idp.z]),
+        )
+    cols = JPoint(
+        p.x.reshape(g, w, N_LIMBS).swapaxes(0, 1),
+        p.y.reshape(g, w, N_LIMBS).swapaxes(0, 1),
+        p.z.reshape(g, w, N_LIMBS).swapaxes(0, 1),
+    )  # (w, g): scan over w steps, g-wide
+
+    def step(carry, col):
+        nc = E.add(carry, JPoint(*col))
+        return nc, nc
+
+    totals, inner = jax.lax.scan(step, E.identity((g,)), tuple(cols))
+    tot_prefix = _blocked_prefix_wide(E, totals)  # inclusive (g,)
+    ident = E.identity((1,))
+    offsets = JPoint(
+        jnp.concatenate([ident.x, tot_prefix.x[:-1]]),
+        jnp.concatenate([ident.y, tot_prefix.y[:-1]]),
+        jnp.concatenate([ident.z, tot_prefix.z[:-1]]),
+    )
+    off_b = JPoint(
+        jnp.broadcast_to(offsets.x[None], inner.x.shape),
+        jnp.broadcast_to(offsets.y[None], inner.y.shape),
+        jnp.broadcast_to(offsets.z[None], inner.z.shape),
+    )
+    full = E.add(off_b, inner)  # (w, g)
+    out = JPoint(
+        full.x.swapaxes(0, 1).reshape(g * w, N_LIMBS),
+        full.y.swapaxes(0, 1).reshape(g * w, N_LIMBS),
+        full.z.swapaxes(0, 1).reshape(g * w, N_LIMBS),
+    )
+    return _take(out, jnp.arange(n))
+
+
 def prefix_scan_points(E: EC, p: JPoint, reverse: bool = False) -> JPoint:
     """Inclusive prefix (or suffix) sums of a (N,) JPoint array under EC
     addition.  Two-level blocked scan: `lax.scan` along columns of a
@@ -59,21 +116,12 @@ def prefix_scan_points(E: EC, p: JPoint, reverse: bool = False) -> JPoint:
         return p
     from .. import config as _cfg
 
-    if _cfg.use_pallas():
-        # each combine is one wide Pallas EC-add kernel: ~2*log2(n) launches
-        # of ~n/2-wide adds beats sqrt(n) thin sequential steps on TPU
-        return JPoint(
-            *jax.lax.associative_scan(
-                lambda a, b: tuple(E.add(JPoint(*a), JPoint(*b))),
-                tuple(p),
-                axis=0,
-                reverse=reverse,
-            )
-        )
     if reverse:
         rev = _take(p, jnp.arange(n - 1, -1, -1))
         out = prefix_scan_points(E, rev, reverse=False)
         return _take(out, jnp.arange(n - 1, -1, -1))
+    if _cfg.use_pallas():
+        return _blocked_prefix_wide(E, p)
 
     g = max(1, min(1 << ((int(math.isqrt(n - 1)) + 1).bit_length() - 1), 4096))
     w = -(-n // g)

@@ -61,6 +61,9 @@ def sharded_msm(
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(), P(), P()),
+        # scan carries inside the local Pippenger start as unvarying
+        # constants; skip the static varying-axis check
+        check_vma=False,
     )
     def local(sc, px, py, pz):
         r = best_multiexp(curve, sc, JPoint(px, py, pz), c, max_scalar_bits)

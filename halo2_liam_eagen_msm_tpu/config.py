@@ -21,6 +21,11 @@ def set_use_pallas(v: bool | None) -> None:
     _USE_PALLAS = v
 
 
+# Debug-time sanity checks (on-curve, digit ranges) — the intent of the
+# reference's dormant `sanity-check` cargo feature; see utils/checks.py
+SANITY_CHECKS = False
+
+
 def use_pallas() -> bool:
     if _USE_PALLAS is not None:
         return _USE_PALLAS

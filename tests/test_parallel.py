@@ -1,0 +1,56 @@
+"""Mesh sharding tests on the 8-device virtual CPU mesh (conftest forces
+xla_force_host_platform_device_count=8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from halo2_liam_eagen_msm_tpu import argument as A
+from halo2_liam_eagen_msm_tpu.fields import PALLAS
+from halo2_liam_eagen_msm_tpu.ops.ec import JPoint, ec
+from halo2_liam_eagen_msm_tpu.ops.msm import scalars_to_limbs
+from halo2_liam_eagen_msm_tpu.parallel.mesh import (
+    make_mesh,
+    sharded_divisor_witness,
+    sharded_msm,
+)
+from halo2_liam_eagen_msm_tpu.utils import pyref
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual mesh"
+)
+
+
+def test_sharded_msm(rng):
+    curve = PALLAS
+    E = ec(curve)
+    mesh = make_mesh(8)
+    n = 16  # 2 per device
+    pts_ints = pyref.random_points(rng, curve, n)
+    scalars = [rng.randrange(1 << 32) for _ in range(n)]
+    pts = E.points_from_ints(pts_ints)
+    res = sharded_msm(
+        curve, scalars_to_limbs(scalars, curve), pts, mesh, c=4, max_scalar_bits=32
+    )
+    got = E.points_to_ints(JPoint(res.x[None], res.y[None], res.z[None]))[0]
+    assert got == pyref.ec_msm(scalars, pts_ints, curve)
+
+
+def test_round_sharded_witness(rng):
+    curve = PALLAS
+    E = ec(curve)
+    mesh = make_mesh(8)
+    base, n = 5, 4
+    pts_ints = pyref.random_points(rng, curve, n)
+    pts = E.points_from_ints(pts_ints)
+    scalars = [rng.randrange(1 << 32) for _ in range(n)]
+    digits = A.negbase_decompose_batch(
+        A.ints_to_limbs(scalars), base, A.num_digits_for(curve, base)
+    )[:, ::-1].T.astype("int32")
+    round_pts, carry = A._rounds_and_carries(curve, base, jnp.asarray(digits), pts)
+    wtns, outs = sharded_divisor_witness(curve, mesh, round_pts)
+    assert bool(np.asarray(E.is_identity(outs)).all())
+    # carry still equals the MSM oracle under sharding
+    got = E.points_to_ints(JPoint(carry.x[None], carry.y[None], carry.z[None]))[0]
+    assert got == pyref.ec_msm(scalars, pts_ints, curve)

@@ -151,6 +151,19 @@ class EC:
         """p + affine(qx, qy) — cheaper than full add (madd-2007-bl).
 
         q_is_identity: (...,) bool mask for affine identity slots."""
+        from .ff import _route_pallas
+
+        if _route_pallas(p.x, qx):
+            from . import pallas_ff
+            qm = jnp.broadcast_to(
+                q_is_identity.astype(jnp.uint32)[..., None],
+                jnp.broadcast_shapes(qx.shape[:-1], q_is_identity.shape)
+                + (N_LIMBS,),
+            )
+            ox, oy, oz = pallas_ff.ec_add_mixed(
+                self.curve, p.x, p.y, p.z, qx, qy, qm
+            )
+            return JPoint(ox, oy, oz)
         f = self.f
         z1z1 = f.sqr(p.z)
         u2 = f.mul(qx, z1z1)

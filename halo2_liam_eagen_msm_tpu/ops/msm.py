@@ -48,123 +48,130 @@ def _take(p: JPoint, idx) -> JPoint:
     return JPoint(p.x[idx], p.y[idx], p.z[idx])
 
 
-def _blocked_prefix_wide(E: EC, p: JPoint) -> JPoint:
-    """Inclusive prefix sums, Pallas path: recursive blocked scan.
+def _pick_block_width(n: int) -> int:
+    """Sequential steps per block for the blocked scans.  On Pallas-class
+    backends few wide steps win (64 steps of n/64-lane kernels); on CPU a
+    ~sqrt split balances the two scan levels."""
+    from .. import config as _cfg
 
-    Each level runs a 64-step lax.scan whose body is ONE wide Pallas EC-add
-    over n/64 lanes, then recurses on the 64-fold-smaller block totals.  Few
-    kernel instances (fast compile on remote-compile backends), wide steps
-    (latency-tolerant), ~2.1n total adds."""
+    if _cfg.use_pallas():
+        return max(2, min(64, n))
+    g = max(1, min(1 << ((int(math.isqrt(n - 1)) + 1).bit_length() - 1), 4096))
+    # w >= 2 guarantees the block count g strictly shrinks, terminating the
+    # parts -> block-totals-prefix recursion
+    return max(2, -(-n // g))
+
+
+def _pad_pts(E: EC, p: JPoint, pad: int) -> JPoint:
+    if not pad:
+        return p
+    idp = E.identity((pad,))
+    return JPoint(
+        jnp.concatenate([p.x, idp.x]),
+        jnp.concatenate([p.y, idp.y]),
+        jnp.concatenate([p.z, idp.z]),
+    )
+
+
+def _to_cols(arr, g, w):
+    """(g*w, 16) -> (w, g, 16): block j = elements [j*w, (j+1)*w)."""
+    return arr.reshape(g, w, N_LIMBS).swapaxes(0, 1)
+
+
+def _from_cols(arr, g, w):
+    return arr.swapaxes(0, 1).reshape(g * w, N_LIMBS)
+
+
+def prefix_scan_parts(E: EC, p: JPoint):
+    """Blocked inclusive prefix-sum DECOMPOSITION of a (N,) JPoint array:
+    returns (inner: JPoint (g*w,), offsets: JPoint (g,), w) with
+
+        inclusive_prefix[i] = offsets[i // w] + inner[i]      (i < N)
+
+    The full prefix array is never materialized — Pippenger only queries
+    O(2^c) boundary positions per window, so skipping the N-wide offset
+    apply nearly halves the EC adds of the dominant scan (~1.05N vs ~2.1N)."""
     n = p.x.shape[0]
-    if n <= 64:
-        def step(carry, el):
-            nc = E.add(carry, JPoint(*el))
-            return nc, nc
-
-        _, pref = jax.lax.scan(step, E.identity(()), tuple(p))
-        return JPoint(*pref)
-    w = 64
+    w = _pick_block_width(n)
     g = -(-n // w)
-    pad = w * g - n
-    if pad:
-        idp = E.identity((pad,))
-        p = JPoint(
-            jnp.concatenate([p.x, idp.x]),
-            jnp.concatenate([p.y, idp.y]),
-            jnp.concatenate([p.z, idp.z]),
-        )
-    cols = JPoint(
-        p.x.reshape(g, w, N_LIMBS).swapaxes(0, 1),
-        p.y.reshape(g, w, N_LIMBS).swapaxes(0, 1),
-        p.z.reshape(g, w, N_LIMBS).swapaxes(0, 1),
-    )  # (w, g): scan over w steps, g-wide
+    p = _pad_pts(E, p, g * w - n)
+    cols = JPoint(*(_to_cols(c, g, w) for c in p))  # (w, g)
 
     def step(carry, col):
         nc = E.add(carry, JPoint(*col))
         return nc, nc
 
     totals, inner = jax.lax.scan(step, E.identity((g,)), tuple(cols))
-    tot_prefix = _blocked_prefix_wide(E, totals)  # inclusive (g,)
+    inner = JPoint(*(_from_cols(c, g, w) for c in inner))
+    if g == 1:
+        return inner, E.identity((1,)), w
+    tot_prefix = prefix_scan_points(E, totals)  # (g,) inclusive, recursive
     ident = E.identity((1,))
     offsets = JPoint(
         jnp.concatenate([ident.x, tot_prefix.x[:-1]]),
         jnp.concatenate([ident.y, tot_prefix.y[:-1]]),
         jnp.concatenate([ident.z, tot_prefix.z[:-1]]),
     )
-    off_b = JPoint(
-        jnp.broadcast_to(offsets.x[None], inner.x.shape),
-        jnp.broadcast_to(offsets.y[None], inner.y.shape),
-        jnp.broadcast_to(offsets.z[None], inner.z.shape),
+    return inner, offsets, w
+
+
+def prefix_scan_parts_affine(E: EC, ax, ay, aident):
+    """prefix_scan_parts for AFFINE inputs (x, y, identity-mask): the inner
+    scan uses mixed (madd) addition — ~35% fewer field muls than the full
+    Jacobian add that dominates Pippenger's cost."""
+    n = ax.shape[0]
+    w = _pick_block_width(n)
+    g = -(-n // w)
+    pad = g * w - n
+    if pad:
+        ax = jnp.concatenate([ax, jnp.zeros((pad, N_LIMBS), ax.dtype)])
+        ay = jnp.concatenate([ay, jnp.zeros((pad, N_LIMBS), ay.dtype)])
+        aident = jnp.concatenate([aident, jnp.ones((pad,), aident.dtype)])
+    xc = _to_cols(ax, g, w)
+    yc = _to_cols(ay, g, w)
+    mc = aident.reshape(g, w).swapaxes(0, 1)
+
+    def step(carry, el):
+        qx, qy, qm = el
+        nc = E.add_mixed(carry, qx, qy, qm)
+        return nc, nc
+
+    totals, inner = jax.lax.scan(step, E.identity((g,)), (xc, yc, mc))
+    inner = JPoint(*(_from_cols(c, g, w) for c in inner))
+    if g == 1:
+        return inner, E.identity((1,)), w
+    tot_prefix = prefix_scan_points(E, totals)
+    ident = E.identity((1,))
+    offsets = JPoint(
+        jnp.concatenate([ident.x, tot_prefix.x[:-1]]),
+        jnp.concatenate([ident.y, tot_prefix.y[:-1]]),
+        jnp.concatenate([ident.z, tot_prefix.z[:-1]]),
     )
-    full = E.add(off_b, inner)  # (w, g)
-    out = JPoint(
-        full.x.swapaxes(0, 1).reshape(g * w, N_LIMBS),
-        full.y.swapaxes(0, 1).reshape(g * w, N_LIMBS),
-        full.z.swapaxes(0, 1).reshape(g * w, N_LIMBS),
-    )
-    return _take(out, jnp.arange(n))
+    return inner, offsets, w
 
 
 def prefix_scan_points(E: EC, p: JPoint, reverse: bool = False) -> JPoint:
     """Inclusive prefix (or suffix) sums of a (N,) JPoint array under EC
-    addition.  Two-level blocked scan: `lax.scan` along columns of a
-    (W, G)-reshaped view (compiled-once add body, G-wide), then a thin scan
-    over the G block totals, then one vectorized offset apply.  ~2N adds,
-    ~W + G sequential steps (W ~ G ~ sqrt(N))."""
+    addition, materialized: parts decomposition + one vectorized offset
+    apply (~2.1N adds, ~w + g sequential steps)."""
     n = p.x.shape[0]
     if n == 1:
         return p
-    from .. import config as _cfg
-
     if reverse:
         rev = _take(p, jnp.arange(n - 1, -1, -1))
         out = prefix_scan_points(E, rev, reverse=False)
         return _take(out, jnp.arange(n - 1, -1, -1))
-    if _cfg.use_pallas():
-        return _blocked_prefix_wide(E, p)
-
-    g = max(1, min(1 << ((int(math.isqrt(n - 1)) + 1).bit_length() - 1), 4096))
-    w = -(-n // g)
-    pad = g * w - n
-    if pad:
-        idp = E.identity((pad,))
-        p = JPoint(
-            jnp.concatenate([p.x, idp.x]),
-            jnp.concatenate([p.y, idp.y]),
-            jnp.concatenate([p.z, idp.z]),
-        )
-    # blocks are rows: block b covers [b*w, (b+1)*w)
-    cols = JPoint(
-        p.x.reshape(g, w, N_LIMBS).swapaxes(0, 1),
-        p.y.reshape(g, w, N_LIMBS).swapaxes(0, 1),
-        p.z.reshape(g, w, N_LIMBS).swapaxes(0, 1),
-    )  # (w, g, ...): scan over w steps, g-wide
-
-    def step(carry, col):
-        newc = E.add(carry, JPoint(*col))
-        return newc, newc
-
-    totals, inner = jax.lax.scan(step, E.identity((g,)), tuple(cols))
-    # inner: (w, g) inclusive within-block prefixes; totals: (g,) block sums
-    def step2(carry, tot):
-        out = carry  # exclusive
-        newc = E.add(carry, JPoint(*tot))
-        return newc, out
-
-    _, offsets = jax.lax.scan(step2, E.identity(()), tuple(totals))
-    # apply block offsets (exclusive) to every element of the block
+    inner, offsets, w = prefix_scan_parts(E, p)
+    g = offsets.x.shape[0]
+    if g == 1:
+        return _take(inner, jnp.arange(n))
     off_b = JPoint(
-        jnp.broadcast_to(offsets.x[None, :, :], inner.x.shape),
-        jnp.broadcast_to(offsets.y[None, :, :], inner.y.shape),
-        jnp.broadcast_to(offsets.z[None, :, :], inner.z.shape),
+        jnp.repeat(offsets.x, w, axis=0),
+        jnp.repeat(offsets.y, w, axis=0),
+        jnp.repeat(offsets.z, w, axis=0),
     )
-    full = E.add(off_b, inner)  # (w, g)
-    out = JPoint(
-        full.x.swapaxes(0, 1).reshape(g * w, N_LIMBS),
-        full.y.swapaxes(0, 1).reshape(g * w, N_LIMBS),
-        full.z.swapaxes(0, 1).reshape(g * w, N_LIMBS),
-    )
-    return _take(out, jnp.arange(n))
+    full = E.add(off_b, inner)
+    return _take(full, jnp.arange(n))
 
 
 # ---------------------------------------------------------------------------
@@ -193,11 +200,12 @@ def window_digits(scalars, c: int, num_windows: int):
 
 
 def pick_window(n: int) -> int:
-    """Window size heuristic (same spirit as the reference's best_multiexp:
-    ~ln(n), capped)."""
+    """Window size heuristic.  Per-window cost here is ~N mixed adds for the
+    sorted prefix scan plus ~6*2^c adds for boundary queries + bucket
+    reduction, so the optimum sits near log2(N) - 5 (flat within +-1)."""
     if n < 4:
         return 1
-    return min(max(int(math.log2(n)) - 3, 1), 16)
+    return min(max(int(math.log2(n)) - 5, 1), 16)
 
 
 def best_multiexp(
@@ -238,17 +246,23 @@ def _best_multiexp_jit(
     num_windows = -(-total_bits // c)
     digits = window_digits(scalars, c, num_windows)  # (W, N) int32
 
+    # normalize the input points ONCE (shared batch inversion): every window's
+    # dominant scan then runs on mixed (Jacobian + affine) additions
+    ax, ay, aident = E.to_affine(pts)
+
     def one_window(keys_in):
         keys, order = jax.lax.sort_key_val(keys_in, jnp.arange(n, dtype=jnp.int32))
-        spts = _take(pts, order)
-        prefix = prefix_scan_points(E, spts)
+        sx, sy, sid = ax[order], ay[order], aident[order]
+        inner, offsets, w = prefix_scan_parts_affine(E, sx, sy, sid)
         bvals = jnp.arange(1, 1 << c, dtype=jnp.int32)
         hi = jnp.searchsorted(keys, bvals, side="right").astype(jnp.int32) - 1
         lo = jnp.searchsorted(keys, bvals, side="left").astype(jnp.int32) - 1
 
         def pref_at(idx):
+            # prefix[i] = offsets[i // w] + inner[i], queried at O(2^c)
+            # boundary positions only (the full array is never built)
             safe = jnp.maximum(idx, 0)
-            pt = _take(prefix, safe)
+            pt = E.add(_take(offsets, safe // w), _take(inner, safe))
             return E.select(idx >= 0, pt, E.identity(idx.shape))
 
         bucket = E.add(pref_at(hi), E.neg(pref_at(lo)))  # (2^c - 1,)

@@ -225,6 +225,52 @@ def k_ec_double(C: FieldConsts, curve: CurveSpec, X, Y, Z):
     return x3, y3, z3
 
 
+def k_ec_add_mixed(C: FieldConsts, curve: CurveSpec, X1, Y1, Z1, QX, QY, QM):
+    """Jacobian + affine (Z2 = 1) addition — madd-2007-bl shape, ~35% fewer
+    field muls than the full add.  QM: identity mask rows for the affine
+    operand (nonzero limb 0 <=> identity).  Mirrors EC.add_mixed exactly."""
+    z1z1 = k_sqr(C, Z1)
+    u2 = k_mul(C, QX, z1z1)
+    s2 = k_mul(C, QY, k_mul(C, Z1, z1z1))
+    h = k_sub(C, u2, X1)
+    r = k_sub(C, s2, Y1)
+    hh = k_sqr(C, h)
+    hhh = k_mul(C, h, hh)
+    v = k_mul(C, X1, hh)
+    x3 = k_sub(C, k_sub(C, k_sqr(C, r), hhh), k_double(C, v))
+    y3 = k_sub(C, k_mul(C, r, k_sub(C, v, x3)), k_mul(C, Y1, hhh))
+    z3 = k_mul(C, Z1, h)
+
+    id1 = k_is_zero(Z1)
+    id2 = QM[0] != 0
+    h0 = k_is_zero(h)
+    r0 = k_is_zero(r)
+    dx, dy, dz = k_ec_double(C, curve, X1, Y1, Z1)
+
+    one = k_const(C, C.one, X1[0])
+    zero = [jnp.zeros_like(X1[0])] * N_LIMBS
+    ox, oy, oz = x3, y3, z3
+    both0 = h0 & r0
+    ox = k_select(both0, dx, ox)
+    oy = k_select(both0, dy, oy)
+    oz = k_select(both0, dz, oz)
+    inv0 = h0 & ~r0
+    ox = k_select(inv0, one, ox)
+    oy = k_select(inv0, one, oy)
+    oz = k_select(inv0, zero, oz)
+    ox = k_select(id2 & ~id1, X1, ox)
+    oy = k_select(id2 & ~id1, Y1, oy)
+    oz = k_select(id2 & ~id1, Z1, oz)
+    ox = k_select(id1 & ~id2, QX, ox)
+    oy = k_select(id1 & ~id2, QY, oy)
+    oz = k_select(id1 & ~id2, one, oz)
+    both_id = id1 & id2
+    ox = k_select(both_id, one, ox)
+    oy = k_select(both_id, one, oy)
+    oz = k_select(both_id, zero, oz)
+    return ox, oy, oz
+
+
 def k_ec_add(C: FieldConsts, curve: CurveSpec, X1, Y1, Z1, X2, Y2, Z2):
     """Branchless complete Jacobian add (same mask dispatch as EC.add)."""
     z1z1 = k_sqr(C, Z1)
@@ -378,6 +424,37 @@ def ec_add(curve: CurveSpec, x1, y1, z1, x2, y2, z2):
     def kern(x1r, y1r, z1r, x2r, y2r, z2r, xo, yo, zo):
         args = [_rows(r[:, 0]) for r in (x1r, y1r, z1r, x2r, y2r, z2r)]
         ox, oy, oz = k_ec_add(C, curve, *args)
+        xo[:, 0] = _stackrows(ox)
+        yo[:, 0] = _stackrows(oy)
+        zo[:, 0] = _stackrows(oz)
+
+    shape = jax.ShapeDtypeStruct(ins[0].shape, jnp.uint32)
+    ox, oy, oz = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        out_shape=(shape, shape, shape),
+        in_specs=[_block_spec()] * 6,
+        out_specs=(_block_spec(),) * 3,
+        interpret=_interpret(),
+    )(*ins)
+    return tuple(
+        _from_lm(o, n).reshape(lead + (N_LIMBS,)) for o in (ox, oy, oz)
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def ec_add_mixed(curve: CurveSpec, x1, y1, z1, qx, qy, qm):
+    """Batched Jacobian + affine addition as ONE pallas kernel.
+    qm: (..., 16) uint32 identity-mask rows (limb 0 nonzero <=> identity)."""
+    C = field_consts(curve.field)
+    lead, flat = _flatten2(x1, y1, z1, qx, qy, qm)
+    n = flat[0].shape[0]
+    ins = [_to_lm(v) for v in flat]
+    nb = ins[0].shape[1]
+
+    def kern(x1r, y1r, z1r, qxr, qyr, qmr, xo, yo, zo):
+        args = [_rows(r[:, 0]) for r in (x1r, y1r, z1r, qxr, qyr, qmr)]
+        ox, oy, oz = k_ec_add_mixed(C, curve, *args)
         xo[:, 0] = _stackrows(ox)
         yo[:, 0] = _stackrows(oy)
         zo[:, 0] = _stackrows(oz)

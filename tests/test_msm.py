@@ -50,5 +50,5 @@ def test_msm_larger_batch(rng):
 
 def test_pick_window():
     assert pick_window(2) == 1
-    assert pick_window(1 << 16) == 13
-    assert pick_window(1 << 20) == 16
+    assert pick_window(1 << 16) == 11
+    assert pick_window(1 << 20) == 15

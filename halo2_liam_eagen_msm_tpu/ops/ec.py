@@ -37,6 +37,9 @@ class JPoint(NamedTuple):
     z: jnp.ndarray
 
 
+_OFFSET_CACHE: dict = {}
+
+
 class EC:
     def __init__(self, curve: CurveSpec):
         self.curve = curve
@@ -193,6 +196,65 @@ class EC:
         out = self.select(id1 & ~id2, q_jac, out)
         out = self.select(id1 & id2, ident, out)
         return out
+
+    def add_mixed_fast(self, p: JPoint, qx, qy, q_is_identity):
+        """Generic mixed add with NO doubling / identity-carry handling:
+        returns (JPoint, exc) where exc (bool (...,)) flags slots whose exact
+        result needed an exceptional path (identity carry, or carry == +-Q) —
+        the caller must recompute flagged work with `add_mixed`.  Affine
+        identity slots pass the carry through exactly (not flagged).
+
+        3 sqr + 8 mul vs ~21 modmuls for the complete add_mixed: this is the
+        MSM hot-loop body under the offset-point blinding scheme (ops/msm.py),
+        where exceptions cannot occur for non-adversarial inputs."""
+        from .ff import _route_pallas
+
+        if _route_pallas(p.x, qx):
+            from . import pallas_ff
+            qm = jnp.broadcast_to(
+                q_is_identity.astype(jnp.uint32)[..., None],
+                jnp.broadcast_shapes(qx.shape[:-1], q_is_identity.shape)
+                + (N_LIMBS,),
+            )
+            ox, oy, oz, exc = pallas_ff.ec_add_mixed_fast(
+                self.curve, p.x, p.y, p.z, qx, qy, qm
+            )
+            return JPoint(ox, oy, oz), exc != 0
+        f = self.f
+        z1z1 = f.sqr(p.z)
+        u2 = f.mul(qx, z1z1)
+        s2 = f.mul(qy, f.mul(p.z, z1z1))
+        h = f.sub(u2, p.x)
+        r = f.sub(s2, p.y)
+        hh = f.sqr(h)
+        hhh = f.mul(h, hh)
+        v = f.mul(p.x, hh)
+        x3 = f.sub(f.sub(f.sqr(r), hhh), f.double(v))
+        y3 = f.sub(f.mul(r, f.sub(v, x3)), f.mul(p.y, hhh))
+        z3 = f.mul(p.z, h)
+        id1 = self.is_identity(p)
+        id2 = q_is_identity
+        exc = (~id2) & (id1 | f.is_zero(h))
+        out = self.select(id2, p, JPoint(x3, y3, z3))
+        return out, exc
+
+    def offset_point(self, shape=()) -> JPoint:
+        """Fixed nothing-up-my-sleeve blinding point T = [0x0EA6E4...]*G used
+        to seed MSM prefix-scan carries so the fast (exception-free) mixed add
+        is exact for all non-adversarial inputs; computed host-side once."""
+        from ..utils import pyref
+
+        key = (self.curve, "offset")
+        pt = _OFFSET_CACHE.get(key)
+        if pt is None:
+            k = 0x0EA6E4B11DC0FFEE % self.curve.scalar_field.p
+            pt = pyref.ec_mul((self.curve.gen_x, self.curve.gen_y), k, self.curve)
+            _OFFSET_CACHE[key] = pt
+        f = self.f
+        x = jnp.broadcast_to(f.const(pt[0]), shape + (N_LIMBS,))
+        y = jnp.broadcast_to(f.const(pt[1]), shape + (N_LIMBS,))
+        one = jnp.broadcast_to(f.one, shape + (N_LIMBS,))
+        return JPoint(x, y, one)
 
     # ----------------------------------------------------------- conversions
     def to_affine(self, p: JPoint):

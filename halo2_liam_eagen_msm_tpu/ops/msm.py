@@ -150,10 +150,66 @@ def prefix_scan_parts_affine(E: EC, ax, ay, aident):
     return inner, offsets, w
 
 
+def prefix_scan_parts_affine_fast(E: EC, ax, ay, aident):
+    """Offset-blinded fast variant of prefix_scan_parts_affine: every block
+    carry is seeded at the fixed blinding point T (EC.offset_point), so the
+    inner scan can use the exception-free generic mixed add (3 sqr + 8 mul
+    instead of ~21 modmuls — the complete add computes an unconditional
+    double).  Exceptional slots (identity carry / carry == +-Q) cannot occur
+    unless inputs are adversarially aligned with T; they are *detected* and
+    reported so the caller can fall back to the safe scan.
+
+    Returns (inner, offsets, w, exc) with
+        offsets[i // w] + inner[i] = T + true_inclusive_prefix[i]
+    (exactly one T regardless of position — block totals are un-blinded
+    before the offsets recursion), and exc a scalar bool."""
+    n = ax.shape[0]
+    w = _pick_block_width(n)
+    g = -(-n // w)
+    pad = g * w - n
+    if pad:
+        ax = jnp.concatenate([ax, jnp.zeros((pad, N_LIMBS), ax.dtype)])
+        ay = jnp.concatenate([ay, jnp.zeros((pad, N_LIMBS), ay.dtype)])
+        aident = jnp.concatenate([aident, jnp.ones((pad,), aident.dtype)])
+    xc = _to_cols(ax, g, w)
+    yc = _to_cols(ay, g, w)
+    mc = aident.reshape(g, w).swapaxes(0, 1)
+
+    def step(carry, el):
+        pt, ex = carry
+        qx, qy, qm = el
+        nc, e = E.add_mixed_fast(pt, qx, qy, qm)
+        return (nc, ex | e), nc
+
+    t0 = E.offset_point((g,))
+    (totals_t, exc_v), inner = jax.lax.scan(
+        step, (t0, jnp.zeros((g,), dtype=bool)), (xc, yc, mc)
+    )
+    exc = jnp.any(exc_v)
+    inner = JPoint(*(_from_cols(c, g, w) for c in inner))
+    if g == 1:
+        return inner, E.identity((1,)), w, exc
+    # un-blind the block totals (safe full adds, only g elements)
+    totals = E.add(totals_t, E.neg(E.offset_point((g,))))
+    tot_prefix = prefix_scan_points(E, totals)
+    ident = E.identity((1,))
+    offsets = JPoint(
+        jnp.concatenate([ident.x, tot_prefix.x[:-1]]),
+        jnp.concatenate([ident.y, tot_prefix.y[:-1]]),
+        jnp.concatenate([ident.z, tot_prefix.z[:-1]]),
+    )
+    return inner, offsets, w, exc
+
+
 def prefix_scan_points(E: EC, p: JPoint, reverse: bool = False) -> JPoint:
     """Inclusive prefix (or suffix) sums of a (N,) JPoint array under EC
-    addition, materialized: parts decomposition + one vectorized offset
-    apply (~2.1N adds, ~w + g sequential steps)."""
+    addition, materialized.  On Pallas-class backends, small sizes use a
+    Hillis-Steele log-depth scan — log2(N) full-width batched adds (N log N
+    total adds, but only ~12 kernel launches; launch latency dominates the
+    tiny compute there).  Larger arrays use the blocked parts decomposition
+    (~2.1N adds, work-optimal)."""
+    from .. import config as _cfg
+
     n = p.x.shape[0]
     if n == 1:
         return p
@@ -161,6 +217,18 @@ def prefix_scan_points(E: EC, p: JPoint, reverse: bool = False) -> JPoint:
         rev = _take(p, jnp.arange(n - 1, -1, -1))
         out = prefix_scan_points(E, rev, reverse=False)
         return _take(out, jnp.arange(n - 1, -1, -1))
+    if _cfg.use_pallas() and n <= (1 << 12):
+        d = 1
+        while d < n:
+            idp = E.identity((d,))
+            shifted = JPoint(
+                jnp.concatenate([idp.x, p.x[:-d]]),
+                jnp.concatenate([idp.y, p.y[:-d]]),
+                jnp.concatenate([idp.z, p.z[:-d]]),
+            )
+            p = E.add(p, shifted)
+            d *= 2
+        return p
     inner, offsets, w = prefix_scan_parts(E, p)
     g = offsets.x.shape[0]
     if g == 1:
@@ -250,24 +318,47 @@ def _best_multiexp_jit(
     # dominant scan then runs on mixed (Jacobian + affine) additions
     ax, ay, aident = E.to_affine(pts)
 
-    def one_window(keys_in):
-        keys, order = jax.lax.sort_key_val(keys_in, jnp.arange(n, dtype=jnp.int32))
-        sx, sy, sid = ax[order], ay[order], aident[order]
-        inner, offsets, w = prefix_scan_parts_affine(E, sx, sy, sid)
-        bvals = jnp.arange(1, 1 << c, dtype=jnp.int32)
+    def window_from_scan(keys, inner, offsets, w, base: JPoint):
+        """Bucket sums + triangle reduction from a prefix-scan decomposition.
+        `base` is the value of the empty prefix (identity for the safe scan,
+        the blinding point T for the fast scan — it cancels in the hi-lo
+        bucket difference since every materialized prefix carries exactly
+        one copy)."""
+        # integer keys: left boundary of bucket b == right boundary of b-1
+        # (#keys < b == #keys <= b-1), so ONE searchsorted + ONE batch of
+        # prefix queries serves both ends of every bucket range
+        bvals = jnp.arange(0, 1 << c, dtype=jnp.int32)
         hi = jnp.searchsorted(keys, bvals, side="right").astype(jnp.int32) - 1
-        lo = jnp.searchsorted(keys, bvals, side="left").astype(jnp.int32) - 1
 
         def pref_at(idx):
             # prefix[i] = offsets[i // w] + inner[i], queried at O(2^c)
             # boundary positions only (the full array is never built)
             safe = jnp.maximum(idx, 0)
             pt = E.add(_take(offsets, safe // w), _take(inner, safe))
-            return E.select(idx >= 0, pt, E.identity(idx.shape))
+            basep = JPoint(*(jnp.broadcast_to(cc, idx.shape + (N_LIMBS,))
+                             for cc in base))
+            return E.select(idx >= 0, pt, basep)
 
-        bucket = E.add(pref_at(hi), E.neg(pref_at(lo)))  # (2^c - 1,)
+        pref = pref_at(hi)  # (2^c,) prefix sums at bucket right boundaries
+        bucket = E.add(
+            _take(pref, slice(1, None)), E.neg(_take(pref, slice(0, -1)))
+        )  # (2^c - 1,) bucket sums for b = 1 .. 2^c-1
         sfx = prefix_scan_points(E, bucket, reverse=True)
         return E.sum(sfx, axis=0)
+
+    def one_window(keys_in):
+        keys, order = jax.lax.sort_key_val(keys_in, jnp.arange(n, dtype=jnp.int32))
+        sx, sy, sid = ax[order], ay[order], aident[order]
+        inner, offsets, w, exc = prefix_scan_parts_affine_fast(E, sx, sy, sid)
+        fast = window_from_scan(keys, inner, offsets, w, E.offset_point(()))
+
+        def safe_path(_):
+            inner_s, offsets_s, ws = prefix_scan_parts_affine(E, sx, sy, sid)
+            return window_from_scan(keys, inner_s, offsets_s, ws, E.identity(()))
+
+        # exceptions are impossible unless inputs align with the blinding
+        # point; the safe recompute keeps the result exact even then
+        return jax.lax.cond(exc, safe_path, lambda _: fast, None)
 
     from .. import config as _cfg
 

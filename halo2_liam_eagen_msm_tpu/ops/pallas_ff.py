@@ -71,8 +71,8 @@ def _stackrows(rows):
     return jnp.stack(rows, axis=0)
 
 
-def k_mul(C: FieldConsts, a, b):
-    """Montgomery product of two limb-row lists -> limb-row list."""
+def _mul_cols(a, b):
+    """Schoolbook column sums of a*b (hi/lo split; 256 lane multiplies)."""
     zero = jnp.zeros_like(a[0])
     n = N_LIMBS
     t = [zero] * (2 * n + 1)
@@ -82,6 +82,40 @@ def k_mul(C: FieldConsts, a, b):
             pr = ai * b[j]
             t[i + j] = t[i + j] + (pr & MASK)
             t[i + j + 1] = t[i + j + 1] + (pr >> LIMB_BITS)
+    return t
+
+
+def _sqr_cols(a):
+    """Symmetric schoolbook column sums of a*a: cross products computed once
+    and doubled — 136 lane multiplies instead of 256.  Column bound: cross
+    sums < 2^20, doubled < 2^21, plus diagonal < 2^17 — still < 2^22."""
+    zero = jnp.zeros_like(a[0])
+    n = N_LIMBS
+    cross = [zero] * (2 * n + 1)
+    for i in range(n):
+        ai = a[i]
+        for j in range(i + 1, n):
+            pr = ai * a[j]
+            cross[i + j] = cross[i + j] + (pr & MASK)
+            cross[i + j + 1] = cross[i + j + 1] + (pr >> LIMB_BITS)
+    t = [c + c for c in cross]
+    for i in range(n):
+        pr = a[i] * a[i]
+        t[2 * i] = t[2 * i] + (pr & MASK)
+        t[2 * i + 1] = t[2 * i + 1] + (pr >> LIMB_BITS)
+    return t
+
+
+def k_mul(C: FieldConsts, a, b):
+    """Montgomery product of two limb-row lists -> limb-row list."""
+    return _mont_reduce(C, _mul_cols(a, b))
+
+
+def _mont_reduce(C: FieldConsts, t):
+    """Montgomery reduction of 512-bit column sums t (list of 2n+1 rows,
+    columns < 2^22): returns (t * R^-1) mod p as n normalized limb rows."""
+    zero = jnp.zeros_like(t[0])
+    n = N_LIMBS
     # normalize low half -> exact 16-bit limbs + multi-bit carry into col 16
     tl = []
     carry = zero
@@ -179,7 +213,9 @@ def k_double(C, a):
 
 
 def k_sqr(C, a):
-    return k_mul(C, a, a)
+    """Montgomery square — symmetric product columns (18% fewer lane
+    multiplies than k_mul; identical results)."""
+    return _mont_reduce(C, _sqr_cols(a))
 
 
 def k_neg(C, a):
@@ -269,6 +305,37 @@ def k_ec_add_mixed(C: FieldConsts, curve: CurveSpec, X1, Y1, Z1, QX, QY, QM):
     oy = k_select(both_id, one, oy)
     oz = k_select(both_id, zero, oz)
     return ox, oy, oz
+
+
+def k_ec_madd_fast(C: FieldConsts, X1, Y1, Z1, QX, QY, QM):
+    """Generic Jacobian + affine add with NO doubling / identity-carry paths:
+    3 sqr + 8 mul (vs ~21 modmuls for the complete k_ec_add_mixed, which
+    computes an unconditional double).  Returns (x3, y3, z3, exc) where `exc`
+    (one (8,128) u32 0/1 row) flags slots whose exact result would need an
+    exceptional path — identity carry or carry == +-Q — for the caller to
+    recompute via the safe kernel.  Affine identity slots (QM) pass the carry
+    through exactly and are not flagged.  Used by the MSM offset-point prefix
+    scan (ops/msm.py), where the carry is blinded so exceptions can only
+    occur for adversarial inputs."""
+    z1z1 = k_sqr(C, Z1)
+    u2 = k_mul(C, QX, z1z1)
+    s2 = k_mul(C, QY, k_mul(C, Z1, z1z1))
+    h = k_sub(C, u2, X1)
+    r = k_sub(C, s2, Y1)
+    hh = k_sqr(C, h)
+    hhh = k_mul(C, h, hh)
+    v = k_mul(C, X1, hh)
+    x3 = k_sub(C, k_sub(C, k_sqr(C, r), hhh), k_double(C, v))
+    y3 = k_sub(C, k_mul(C, r, k_sub(C, v, x3)), k_mul(C, Y1, hhh))
+    z3 = k_mul(C, Z1, h)
+
+    id1 = k_is_zero(Z1)
+    id2 = QM[0] != 0
+    exc = (~id2) & (id1 | k_is_zero(h))
+    ox = k_select(id2, X1, x3)
+    oy = k_select(id2, Y1, y3)
+    oz = k_select(id2, Z1, z3)
+    return ox, oy, oz, exc.astype(jnp.uint32)
 
 
 def k_ec_add(C: FieldConsts, curve: CurveSpec, X1, Y1, Z1, X2, Y2, Z2):
@@ -471,6 +538,41 @@ def ec_add_mixed(curve: CurveSpec, x1, y1, z1, qx, qy, qm):
     return tuple(
         _from_lm(o, n).reshape(lead + (N_LIMBS,)) for o in (ox, oy, oz)
     )
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def ec_add_mixed_fast(curve: CurveSpec, x1, y1, z1, qx, qy, qm):
+    """Batched generic Jacobian + affine addition (one pallas kernel), no
+    exceptional paths: returns (x3, y3, z3, exc) with exc a (...,) uint32
+    0/1 exception mask (see k_ec_madd_fast)."""
+    C = field_consts(curve.field)
+    lead, flat = _flatten2(x1, y1, z1, qx, qy, qm)
+    n = flat[0].shape[0]
+    ins = [_to_lm(v) for v in flat]
+    nb = ins[0].shape[1]
+
+    def kern(x1r, y1r, z1r, qxr, qyr, qmr, xo, yo, zo, eo):
+        args = [_rows(r[:, 0]) for r in (x1r, y1r, z1r, qxr, qyr, qmr)]
+        ox, oy, oz, exc = k_ec_madd_fast(C, *args)
+        xo[:, 0] = _stackrows(ox)
+        yo[:, 0] = _stackrows(oy)
+        zo[:, 0] = _stackrows(oz)
+        eo[0] = exc
+
+    shape = jax.ShapeDtypeStruct(ins[0].shape, jnp.uint32)
+    eshape = jax.ShapeDtypeStruct((nb, 8, 128), jnp.uint32)
+    espec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    ox, oy, oz, exc = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        out_shape=(shape, shape, shape, eshape),
+        in_specs=[_block_spec()] * 6,
+        out_specs=(_block_spec(), _block_spec(), _block_spec(), espec),
+        interpret=_interpret(),
+    )(*ins)
+    outs = tuple(_from_lm(o, n).reshape(lead + (N_LIMBS,)) for o in (ox, oy, oz))
+    exc_flat = exc.reshape(-1)[:n].reshape(lead)
+    return outs + (exc_flat,)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Component-level timing of the TPU Pippenger MSM at a given size.
+
+Times, per window: key sort, sorted-prefix scan (the dominant EC work),
+bucket boundary queries, bucket triangle reduction, and the window fold —
+each as a separately jitted stage on the real chip, to direct optimization.
+
+Usage: python tools/profile_msm.py [--logn 20] [--window 15]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timeit(fn, *args, reps=3):
+    """Times fn on-device: a uint32 checksum of every output leaf is fetched
+    (a few words) instead of the outputs — the axon tunnel's device_get of
+    large arrays would otherwise dominate and measure transfer, not compute."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def with_checksum(*a):
+        out = fn(*a)
+        leaves = jax.tree_util.tree_leaves(out)
+        cs = sum(jnp.sum(l.astype(jnp.uint32)) for l in leaves if hasattr(l, "shape"))
+        return out, cs
+
+    out, cs = with_checksum(*args)
+    jax.device_get(cs)
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        _, cs = with_checksum(*args)
+        jax.device_get(cs)
+        ts.append(time.time() - t0)
+    return min(ts), out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logn", type=int, default=20)
+    ap.add_argument("--window", type=int, default=None)
+    args = ap.parse_args()
+
+    import random
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import jax.numpy as jnp
+
+    from functools import partial
+
+    from halo2_liam_eagen_msm_tpu.fields import PALLAS
+    from halo2_liam_eagen_msm_tpu.limbs import ints_to_mont_limbs
+    from halo2_liam_eagen_msm_tpu.ops.ec import JPoint, ec
+    from halo2_liam_eagen_msm_tpu.ops import msm as M
+    from halo2_liam_eagen_msm_tpu.utils import pyref
+
+    n = 1 << args.logn
+    curve = PALLAS
+    E = ec(curve)
+    c = args.window or M.pick_window(n)
+    rng = random.Random(0xBE7C)
+    nprng = np.random.default_rng(0xBE7C)
+
+    base = pyref.random_points(rng, curve, 64)
+    reps = n // 64
+    xs = np.asarray(ints_to_mont_limbs([p[0] for p in base], curve.field))
+    ys = np.asarray(ints_to_mont_limbs([p[1] for p in base], curve.field))
+    px = jnp.asarray(np.tile(xs, (reps, 1)))
+    py = jnp.asarray(np.tile(ys, (reps, 1)))
+    pz = jnp.asarray(np.tile(ints_to_mont_limbs([1], curve.field), (n, 1)))
+    pts = JPoint(px, py, pz)
+    sc = nprng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
+    sc[:, 15] &= 0x3FFF
+    scalars = jnp.asarray(sc)
+
+    @jax.jit
+    def stage_affine(p):
+        return E.to_affine(p)
+
+    t_aff, (ax, ay, aid) = timeit(stage_affine, pts)
+    print(f"to_affine (once):        {t_aff * 1e3:8.1f} ms")
+
+    digits = jax.jit(partial(M.window_digits, c=c, num_windows=1))(scalars)[0]
+
+    @jax.jit
+    def stage_sort(keys):
+        return jax.lax.sort_key_val(keys, jnp.arange(n, dtype=jnp.int32))
+
+    t_sort, (keys, order) = timeit(stage_sort, digits)
+    print(f"sort_key_val:            {t_sort * 1e3:8.1f} ms/window")
+
+    @jax.jit
+    def stage_gather(order):
+        return ax[order], ay[order], aid[order]
+
+    t_gather, (sx, sy, sid) = timeit(stage_gather, order)
+    print(f"point gather:            {t_gather * 1e3:8.1f} ms/window")
+
+    @jax.jit
+    def stage_scan(sx, sy, sid):
+        return M.prefix_scan_parts_affine(E, sx, sy, sid)
+
+    t_scan, (inner, offsets, w) = timeit(stage_scan, sx, sy, sid)
+    print(f"prefix scan (madd):      {t_scan * 1e3:8.1f} ms/window")
+
+    @jax.jit
+    def stage_buckets(keys, inner, offsets):
+        bvals = jnp.arange(1, 1 << c, dtype=jnp.int32)
+        hi = jnp.searchsorted(keys, bvals, side="right").astype(jnp.int32) - 1
+        lo = jnp.searchsorted(keys, bvals, side="left").astype(jnp.int32) - 1
+
+        def pref_at(idx):
+            safe = jnp.maximum(idx, 0)
+            pt = E.add(M._take(offsets, safe // w), M._take(inner, safe))
+            return E.select(idx >= 0, pt, E.identity(idx.shape))
+
+        return E.add(pref_at(hi), E.neg(pref_at(lo)))
+
+    t_bq, bucket = timeit(stage_buckets, keys, inner, offsets)
+    print(f"bucket boundary queries: {t_bq * 1e3:8.1f} ms/window")
+
+    @jax.jit
+    def stage_triangle(bucket):
+        sfx = M.prefix_scan_points(E, bucket, reverse=True)
+        return E.sum(sfx, axis=0)
+
+    t_tri, wsum = timeit(stage_triangle, bucket)
+    print(f"triangle reduction:      {t_tri * 1e3:8.1f} ms/window")
+
+    per_window = t_sort + t_gather + t_scan + t_bq + t_tri
+    num_windows = -(-254 // c)
+    print(f"--- per-window total:    {per_window * 1e3:8.1f} ms  x{num_windows} windows")
+    print(f"--- extrapolated MSM:    {(t_aff + per_window * num_windows) * 1e3:8.1f} ms "
+          f"({n / (t_aff + per_window * num_windows) / 1e6:.2f} Mpts/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -197,12 +197,16 @@ class EC:
         out = self.select(id1 & id2, ident, out)
         return out
 
-    def add_mixed_fast(self, p: JPoint, qx, qy, q_is_identity):
+    def add_mixed_fast(self, p: JPoint, qx, qy):
         """Generic mixed add with NO doubling / identity-carry handling:
         returns (JPoint, exc) where exc (bool (...,)) flags slots whose exact
         result needed an exceptional path (identity carry, or carry == +-Q) —
-        the caller must recompute flagged work with `add_mixed`.  Affine
-        identity slots pass the carry through exactly (not flagged).
+        the caller must recompute flagged work with `add_mixed`.  The affine
+        identity is ENCODED AS qy == 0 (to_affine's output convention; no
+        real point has y = 0 on these prime-order curves) — such slots pass
+        the carry through exactly and are not flagged.  Dropping the separate
+        mask array matters: a bit-packed bool gather was the single most
+        expensive op in the MSM window loop.
 
         3 sqr + 8 mul vs ~21 modmuls for the complete add_mixed: this is the
         MSM hot-loop body under the offset-point blinding scheme (ops/msm.py),
@@ -211,13 +215,8 @@ class EC:
 
         if _route_pallas(p.x, qx):
             from . import pallas_ff
-            qm = jnp.broadcast_to(
-                q_is_identity.astype(jnp.uint32)[..., None],
-                jnp.broadcast_shapes(qx.shape[:-1], q_is_identity.shape)
-                + (N_LIMBS,),
-            )
             ox, oy, oz, exc = pallas_ff.ec_add_mixed_fast(
-                self.curve, p.x, p.y, p.z, qx, qy, qm
+                self.curve, p.x, p.y, p.z, qx, qy
             )
             return JPoint(ox, oy, oz), exc != 0
         f = self.f
@@ -233,7 +232,7 @@ class EC:
         y3 = f.sub(f.mul(r, f.sub(v, x3)), f.mul(p.y, hhh))
         z3 = f.mul(p.z, h)
         id1 = self.is_identity(p)
-        id2 = q_is_identity
+        id2 = f.is_zero(qy)
         exc = (~id2) & (id1 | f.is_zero(h))
         out = self.select(id2, p, JPoint(x3, y3, z3))
         return out, exc

@@ -150,7 +150,7 @@ def prefix_scan_parts_affine(E: EC, ax, ay, aident):
     return inner, offsets, w
 
 
-def prefix_scan_parts_affine_fast(E: EC, ax, ay, aident):
+def prefix_scan_parts_affine_fast(E: EC, ax, ay):
     """Offset-blinded fast variant of prefix_scan_parts_affine: every block
     carry is seeded at the fixed blinding point T (EC.offset_point), so the
     inner scan can use the exception-free generic mixed add (3 sqr + 8 mul
@@ -158,6 +158,9 @@ def prefix_scan_parts_affine_fast(E: EC, ax, ay, aident):
     double).  Exceptional slots (identity carry / carry == +-Q) cannot occur
     unless inputs are adversarially aligned with T; they are *detected* and
     reported so the caller can fall back to the safe scan.
+
+    The affine identity is encoded as ay == 0 (to_affine's convention, exact
+    on prime-order curves) — no separate mask array is streamed or padded.
 
     Returns (inner, offsets, w, exc) with
         offsets[i // w] + inner[i] = T + true_inclusive_prefix[i]
@@ -170,20 +173,18 @@ def prefix_scan_parts_affine_fast(E: EC, ax, ay, aident):
     if pad:
         ax = jnp.concatenate([ax, jnp.zeros((pad, N_LIMBS), ax.dtype)])
         ay = jnp.concatenate([ay, jnp.zeros((pad, N_LIMBS), ay.dtype)])
-        aident = jnp.concatenate([aident, jnp.ones((pad,), aident.dtype)])
     xc = _to_cols(ax, g, w)
     yc = _to_cols(ay, g, w)
-    mc = aident.reshape(g, w).swapaxes(0, 1)
 
     def step(carry, el):
         pt, ex = carry
-        qx, qy, qm = el
-        nc, e = E.add_mixed_fast(pt, qx, qy, qm)
+        qx, qy = el
+        nc, e = E.add_mixed_fast(pt, qx, qy)
         return (nc, ex | e), nc
 
     t0 = E.offset_point((g,))
     (totals_t, exc_v), inner = jax.lax.scan(
-        step, (t0, jnp.zeros((g,), dtype=bool)), (xc, yc, mc)
+        step, (t0, jnp.zeros((g,), dtype=bool)), (xc, yc)
     )
     exc = jnp.any(exc_v)
     inner = JPoint(*(_from_cols(c, g, w) for c in inner))
@@ -267,6 +268,25 @@ def window_digits(scalars, c: int, num_windows: int):
     return jnp.stack(out)
 
 
+def bucket_bounds_hist(digits_w, c: int):
+    """hi[b] = (#digits <= b) - 1 for b in [0, 2^c): the right boundary of
+    every bucket's run in the sorted order.  Computed as an EXACT one-hot
+    matmul histogram on the MXU — counts are integers < 2^24, exact in f32 —
+    followed by a cumulative sum.  Replaces jnp.searchsorted over the sorted
+    keys, whose ~log2(N) sequential gather rounds were a top-4 cost in the
+    MSM window loop; this needs no sorted input at all."""
+    lo_bits = min(c, 8)
+    hbits = c - lo_bits
+    lo = (digits_w & ((1 << lo_bits) - 1)).astype(jnp.int32)
+    hi_part = (digits_w >> lo_bits).astype(jnp.int32)
+    a = jax.nn.one_hot(hi_part, 1 << hbits, dtype=jnp.bfloat16)  # (N, H)
+    b = jax.nn.one_hot(lo, 1 << lo_bits, dtype=jnp.bfloat16)     # (N, L)
+    counts = jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (H, L); flat index h * L + l == digit value
+    return jnp.cumsum(counts.reshape(-1)).astype(jnp.int32) - 1
+
+
 def pick_window(n: int) -> int:
     """Window size heuristic.  Per-window cost here is ~N mixed adds for the
     sorted prefix scan plus ~6*2^c adds for boundary queries + bucket
@@ -315,20 +335,21 @@ def _best_multiexp_jit(
     digits = window_digits(scalars, c, num_windows)  # (W, N) int32
 
     # normalize the input points ONCE (shared batch inversion): every window's
-    # dominant scan then runs on mixed (Jacobian + affine) additions
+    # dominant scan then runs on mixed (Jacobian + affine) additions.
+    # x and y are interleaved into one (N, 32) array so the per-window
+    # sorted-order gather moves one 128-byte row per point instead of two
+    # 64-byte rows (the gathers, not the field math, bound this kernel).
     ax, ay, aident = E.to_affine(pts)
+    pts_cat = jnp.concatenate([ax, ay], axis=-1)  # (N, 32)
 
-    def window_from_scan(keys, inner, offsets, w, base: JPoint):
+    def window_from_scan(hi, inner, offsets, w, base: JPoint):
         """Bucket sums + triangle reduction from a prefix-scan decomposition.
-        `base` is the value of the empty prefix (identity for the safe scan,
-        the blinding point T for the fast scan — it cancels in the hi-lo
-        bucket difference since every materialized prefix carries exactly
-        one copy)."""
-        # integer keys: left boundary of bucket b == right boundary of b-1
-        # (#keys < b == #keys <= b-1), so ONE searchsorted + ONE batch of
-        # prefix queries serves both ends of every bucket range
-        bvals = jnp.arange(0, 1 << c, dtype=jnp.int32)
-        hi = jnp.searchsorted(keys, bvals, side="right").astype(jnp.int32) - 1
+        hi[b] (right boundary of bucket b's sorted run; -1 if empty prefix)
+        serves both ends of every range: for integer keys the left boundary
+        of bucket b is the right boundary of b-1.  `base` is the value of the
+        empty prefix (identity for the safe scan, the blinding point T for
+        the fast scan — it cancels in the consecutive-boundary difference
+        since every materialized prefix carries exactly one copy)."""
 
         def pref_at(idx):
             # prefix[i] = offsets[i // w] + inner[i], queried at O(2^c)
@@ -347,14 +368,17 @@ def _best_multiexp_jit(
         return E.sum(sfx, axis=0)
 
     def one_window(keys_in):
-        keys, order = jax.lax.sort_key_val(keys_in, jnp.arange(n, dtype=jnp.int32))
-        sx, sy, sid = ax[order], ay[order], aident[order]
-        inner, offsets, w, exc = prefix_scan_parts_affine_fast(E, sx, sy, sid)
-        fast = window_from_scan(keys, inner, offsets, w, E.offset_point(()))
+        _, order = jax.lax.sort_key_val(keys_in, jnp.arange(n, dtype=jnp.int32))
+        hi = bucket_bounds_hist(keys_in, c)
+        sg = pts_cat[order]  # ONE row gather for both coordinates
+        sx, sy = sg[..., :N_LIMBS], sg[..., N_LIMBS:]
+        inner, offsets, w, exc = prefix_scan_parts_affine_fast(E, sx, sy)
+        fast = window_from_scan(hi, inner, offsets, w, E.offset_point(()))
 
         def safe_path(_):
+            sid = aident[order]
             inner_s, offsets_s, ws = prefix_scan_parts_affine(E, sx, sy, sid)
-            return window_from_scan(keys, inner_s, offsets_s, ws, E.identity(()))
+            return window_from_scan(hi, inner_s, offsets_s, ws, E.identity(()))
 
         # exceptions are impossible unless inputs align with the blinding
         # point; the safe recompute keeps the result exact even then

@@ -307,16 +307,18 @@ def k_ec_add_mixed(C: FieldConsts, curve: CurveSpec, X1, Y1, Z1, QX, QY, QM):
     return ox, oy, oz
 
 
-def k_ec_madd_fast(C: FieldConsts, X1, Y1, Z1, QX, QY, QM):
+def k_ec_madd_fast(C: FieldConsts, X1, Y1, Z1, QX, QY):
     """Generic Jacobian + affine add with NO doubling / identity-carry paths:
     3 sqr + 8 mul (vs ~21 modmuls for the complete k_ec_add_mixed, which
     computes an unconditional double).  Returns (x3, y3, z3, exc) where `exc`
     (one (8,128) u32 0/1 row) flags slots whose exact result would need an
     exceptional path — identity carry or carry == +-Q — for the caller to
-    recompute via the safe kernel.  Affine identity slots (QM) pass the carry
-    through exactly and are not flagged.  Used by the MSM offset-point prefix
-    scan (ops/msm.py), where the carry is blinded so exceptions can only
-    occur for adversarial inputs."""
+    recompute via the safe kernel.  The affine identity is encoded as QY == 0
+    (to_affine's convention; valid because the supported curves have prime
+    order, so no point has y = 0) — identity slots pass the carry through
+    exactly and are not flagged, with no separate mask array to stream.
+    Used by the MSM offset-point prefix scan (ops/msm.py), where the carry is
+    blinded so exceptions can only occur for adversarial inputs."""
     z1z1 = k_sqr(C, Z1)
     u2 = k_mul(C, QX, z1z1)
     s2 = k_mul(C, QY, k_mul(C, Z1, z1z1))
@@ -330,7 +332,7 @@ def k_ec_madd_fast(C: FieldConsts, X1, Y1, Z1, QX, QY, QM):
     z3 = k_mul(C, Z1, h)
 
     id1 = k_is_zero(Z1)
-    id2 = QM[0] != 0
+    id2 = k_is_zero(QY)
     exc = (~id2) & (id1 | k_is_zero(h))
     ox = k_select(id2, X1, x3)
     oy = k_select(id2, Y1, y3)
@@ -541,18 +543,18 @@ def ec_add_mixed(curve: CurveSpec, x1, y1, z1, qx, qy, qm):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def ec_add_mixed_fast(curve: CurveSpec, x1, y1, z1, qx, qy, qm):
+def ec_add_mixed_fast(curve: CurveSpec, x1, y1, z1, qx, qy):
     """Batched generic Jacobian + affine addition (one pallas kernel), no
     exceptional paths: returns (x3, y3, z3, exc) with exc a (...,) uint32
-    0/1 exception mask (see k_ec_madd_fast)."""
+    0/1 exception mask (see k_ec_madd_fast; affine identity = qy == 0)."""
     C = field_consts(curve.field)
-    lead, flat = _flatten2(x1, y1, z1, qx, qy, qm)
+    lead, flat = _flatten2(x1, y1, z1, qx, qy)
     n = flat[0].shape[0]
     ins = [_to_lm(v) for v in flat]
     nb = ins[0].shape[1]
 
-    def kern(x1r, y1r, z1r, qxr, qyr, qmr, xo, yo, zo, eo):
-        args = [_rows(r[:, 0]) for r in (x1r, y1r, z1r, qxr, qyr, qmr)]
+    def kern(x1r, y1r, z1r, qxr, qyr, xo, yo, zo, eo):
+        args = [_rows(r[:, 0]) for r in (x1r, y1r, z1r, qxr, qyr)]
         ox, oy, oz, exc = k_ec_madd_fast(C, *args)
         xo[:, 0] = _stackrows(ox)
         yo[:, 0] = _stackrows(oy)
@@ -566,7 +568,7 @@ def ec_add_mixed_fast(curve: CurveSpec, x1, y1, z1, qx, qy, qm):
         kern,
         grid=(nb,),
         out_shape=(shape, shape, shape, eshape),
-        in_specs=[_block_spec()] * 6,
+        in_specs=[_block_spec()] * 5,
         out_specs=(_block_spec(), _block_spec(), _block_spec(), espec),
         interpret=_interpret(),
     )(*ins)

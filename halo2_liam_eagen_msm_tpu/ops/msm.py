@@ -14,9 +14,9 @@ TPU, so bucket accumulation is reformulated sort-first and scatter-free:
     2. sort point indices by bucket id (jax.lax.sort_key_val)
     3. ONE unsegmented inclusive prefix scan of the sorted points
        (blocked two-level lax.scan: ~2N adds, ~2*sqrt(N) sequential steps)
-    4. bucket sums = prefix[range_end] - prefix[range_start-1], with ranges
-       located by vectorized binary search (searchsorted) — EC subtraction is
-       free (negate y), so no segmented combine is needed at all
+    4. bucket sums = prefix[range_end] - prefix[range_start-1], with range
+       boundaries from an exact one-hot matmul histogram on the MXU — EC
+       subtraction is free (negate y), so no segmented combine is needed
     5. triangle reduction: suffix-scan of the bucket table, then total sum
        (sum_b b*B_b = sum_k suffix_k)
   window fold: result = sum_w 2^(cw) G_w by c doublings per window
@@ -336,11 +336,10 @@ def _best_multiexp_jit(
 
     # normalize the input points ONCE (shared batch inversion): every window's
     # dominant scan then runs on mixed (Jacobian + affine) additions.
-    # x and y are interleaved into one (N, 32) array so the per-window
-    # sorted-order gather moves one 128-byte row per point instead of two
-    # 64-byte rows (the gathers, not the field math, bound this kernel).
+    # NOTE the per-window sorted-order gathers are kept as two (N, 16) row
+    # gathers: measured on v5e, a single interleaved (N, 32) gather runs ~3x
+    # slower than the pair (TPU row gathers fall off a cliff past 64B rows).
     ax, ay, aident = E.to_affine(pts)
-    pts_cat = jnp.concatenate([ax, ay], axis=-1)  # (N, 32)
 
     def window_from_scan(hi, inner, offsets, w, base: JPoint):
         """Bucket sums + triangle reduction from a prefix-scan decomposition.
@@ -370,8 +369,7 @@ def _best_multiexp_jit(
     def one_window(keys_in):
         _, order = jax.lax.sort_key_val(keys_in, jnp.arange(n, dtype=jnp.int32))
         hi = bucket_bounds_hist(keys_in, c)
-        sg = pts_cat[order]  # ONE row gather for both coordinates
-        sx, sy = sg[..., :N_LIMBS], sg[..., N_LIMBS:]
+        sx, sy = ax[order], ay[order]
         inner, offsets, w, exc = prefix_scan_parts_affine_fast(E, sx, sy)
         fast = window_from_scan(hi, inner, offsets, w, E.offset_point(()))
 

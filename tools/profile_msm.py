@@ -115,19 +115,25 @@ def main():
     print(f"prefix scan (madd):      {t_scan * 1e3:8.1f} ms/window")
 
     @jax.jit
-    def stage_buckets(keys, inner, offsets):
-        bvals = jnp.arange(1, 1 << c, dtype=jnp.int32)
-        hi = jnp.searchsorted(keys, bvals, side="right").astype(jnp.int32) - 1
-        lo = jnp.searchsorted(keys, bvals, side="left").astype(jnp.int32) - 1
+    def stage_hist(digits_w):
+        return M.bucket_bounds_hist(digits_w, c)
 
+    t_hist, hi = timeit(stage_hist, digits)
+    print(f"bucket bounds histogram: {t_hist * 1e3:8.1f} ms/window")
+
+    @jax.jit
+    def stage_buckets(hi, inner, offsets):
         def pref_at(idx):
             safe = jnp.maximum(idx, 0)
             pt = E.add(M._take(offsets, safe // w), M._take(inner, safe))
             return E.select(idx >= 0, pt, E.identity(idx.shape))
 
-        return E.add(pref_at(hi), E.neg(pref_at(lo)))
+        pref = pref_at(hi)
+        return E.add(
+            M._take(pref, slice(1, None)), E.neg(M._take(pref, slice(0, -1)))
+        )
 
-    t_bq, bucket = timeit(stage_buckets, keys, inner, offsets)
+    t_bq, bucket = timeit(stage_buckets, hi, inner, offsets)
     print(f"bucket boundary queries: {t_bq * 1e3:8.1f} ms/window")
 
     @jax.jit
@@ -138,7 +144,7 @@ def main():
     t_tri, wsum = timeit(stage_triangle, bucket)
     print(f"triangle reduction:      {t_tri * 1e3:8.1f} ms/window")
 
-    per_window = t_sort + t_gather + t_scan + t_bq + t_tri
+    per_window = t_sort + t_gather + t_scan + t_hist + t_bq + t_tri
     num_windows = -(-254 // c)
     print(f"--- per-window total:    {per_window * 1e3:8.1f} ms  x{num_windows} windows")
     print(f"--- extrapolated MSM:    {(t_aff + per_window * num_windows) * 1e3:8.1f} ms "

@@ -202,6 +202,80 @@ def prefix_scan_parts_affine_fast(E: EC, ax, ay):
     return inner, offsets, w, exc
 
 
+def prefix_scan_points_fast(E: EC, p: JPoint, reverse: bool = False):
+    """Blinded fast variant of prefix_scan_points: blocked scan over
+    exception-flagging generic adds (EC.add_fast, ~15 modmuls vs ~33), block
+    carries seeded at T.  Returns (prefix, exc) where every materialized
+    prefix value carries EXACTLY ONE T (block totals are un-blinded before
+    the offsets recursion) and exc is a scalar bool ORing all flags.
+    Identity inputs pass through exactly (empty-bucket slots)."""
+    n = p.x.shape[0]
+    if n == 1:
+        return p, jnp.zeros((), bool)  # single value: true prefix, NOT blinded
+    if reverse:
+        rev = _take(p, jnp.arange(n - 1, -1, -1))
+        out, exc = prefix_scan_points_fast(E, rev, reverse=False)
+        return _take(out, jnp.arange(n - 1, -1, -1)), exc
+    w = _pick_block_width(n)
+    g = -(-n // w)
+    p = _pad_pts(E, p, g * w - n)
+    cols = JPoint(*(_to_cols(c, g, w) for c in p))
+
+    def step(carry, col):
+        pt, ex = carry
+        nc, e = E.add_fast(pt, JPoint(*col))
+        return (nc, ex | e), nc
+
+    t0 = E.offset_point((g,))
+    (totals_t, exc_v), inner = jax.lax.scan(
+        step, (t0, jnp.zeros((g,), dtype=bool)), tuple(cols)
+    )
+    exc = jnp.any(exc_v)
+    inner = JPoint(*(_from_cols(c, g, w) for c in inner))
+    if g == 1:
+        return _take(inner, jnp.arange(n)), exc
+    totals = E.add(totals_t, E.neg(E.offset_point((g,))))  # safe un-blind
+    tot_prefix = prefix_scan_points(E, totals)  # safe, g elements
+    ident = E.identity((1,))
+    offsets = JPoint(
+        jnp.concatenate([ident.x, tot_prefix.x[:-1]]),
+        jnp.concatenate([ident.y, tot_prefix.y[:-1]]),
+        jnp.concatenate([ident.z, tot_prefix.z[:-1]]),
+    )
+    off_b = JPoint(
+        jnp.repeat(offsets.x, w, axis=0),
+        jnp.repeat(offsets.y, w, axis=0),
+        jnp.repeat(offsets.z, w, axis=0),
+    )
+    full, e2 = E.add_fast(off_b, inner)
+    return _take(full, jnp.arange(n)), exc | jnp.any(e2)
+
+
+def sum_points_fast(E: EC, p: JPoint):
+    """Log-halving batch sum over exception-flagging fast adds.  Returns
+    (point, exc).  Identity slots pass through; only doubling collisions
+    flag (adversarial for blinded inputs)."""
+    x, y, z = p
+    n = x.shape[0]
+    exc = jnp.zeros((), bool)
+    while n > 1:
+        half = n // 2
+        s, e = E.add_fast(
+            JPoint(x[:half], y[:half], z[:half]),
+            JPoint(x[half:2 * half], y[half:2 * half], z[half:2 * half]),
+        )
+        exc = exc | jnp.any(e)
+        if n % 2:
+            x = jnp.concatenate([s.x, x[2 * half:]], axis=0)
+            y = jnp.concatenate([s.y, y[2 * half:]], axis=0)
+            z = jnp.concatenate([s.z, z[2 * half:]], axis=0)
+            n = half + 1
+        else:
+            x, y, z = s.x, s.y, s.z
+            n = half
+    return JPoint(x[0], y[0], z[0]), exc
+
+
 def prefix_scan_points(E: EC, p: JPoint, reverse: bool = False) -> JPoint:
     """Inclusive prefix (or suffix) sums of a (N,) JPoint array under EC
     addition, materialized.  On Pallas-class backends, small sizes use a
@@ -341,23 +415,18 @@ def _best_multiexp_jit(
     # slower than the pair (TPU row gathers fall off a cliff past 64B rows).
     ax, ay, aident = E.to_affine(pts)
 
-    def window_from_scan(hi, inner, offsets, w, base: JPoint):
-        """Bucket sums + triangle reduction from a prefix-scan decomposition.
-        hi[b] (right boundary of bucket b's sorted run; -1 if empty prefix)
-        serves both ends of every range: for integer keys the left boundary
-        of bucket b is the right boundary of b-1.  `base` is the value of the
-        empty prefix (identity for the safe scan, the blinding point T for
-        the fast scan — it cancels in the consecutive-boundary difference
-        since every materialized prefix carries exactly one copy)."""
+    def window_from_scan_safe(hi, inner, offsets, w):
+        """Bucket sums + triangle reduction from a prefix-scan decomposition,
+        all complete (safe) adds.  hi[b] (right boundary of bucket b's sorted
+        run; -1 if empty prefix) serves both ends of every range: for integer
+        keys the left boundary of bucket b is the right boundary of b-1."""
 
         def pref_at(idx):
             # prefix[i] = offsets[i // w] + inner[i], queried at O(2^c)
             # boundary positions only (the full array is never built)
             safe = jnp.maximum(idx, 0)
             pt = E.add(_take(offsets, safe // w), _take(inner, safe))
-            basep = JPoint(*(jnp.broadcast_to(cc, idx.shape + (N_LIMBS,))
-                             for cc in base))
-            return E.select(idx >= 0, pt, basep)
+            return E.select(idx >= 0, pt, E.identity(idx.shape))
 
         pref = pref_at(hi)  # (2^c,) prefix sums at bucket right boundaries
         bucket = E.add(
@@ -366,21 +435,49 @@ def _best_multiexp_jit(
         sfx = prefix_scan_points(E, bucket, reverse=True)
         return E.sum(sfx, axis=0)
 
+    def window_from_scan_fast(hi, inner, offsets, w):
+        """Fast-add twin of window_from_scan_safe for the blinded scan
+        decomposition (every prefix carries exactly one T; the empty prefix
+        IS T, so bucket differences are true values).  The triangle suffix
+        scan and the final sum are re-blinded fast scans; their accumulated
+        (2^c - 1) copies of T are cancelled with one precomputed [2^c-1]T.
+        Returns (point, exc) — exc ORs every fast-add flag."""
+        base = E.offset_point(())
+
+        def pref_at(idx):
+            safe = jnp.maximum(idx, 0)
+            pt, e = E.add_fast(_take(offsets, safe // w), _take(inner, safe))
+            basep = JPoint(*(jnp.broadcast_to(cc, idx.shape + (N_LIMBS,))
+                             for cc in base))
+            return E.select(idx >= 0, pt, basep), jnp.any(e)
+
+        pref, e1 = pref_at(hi)
+        bucket, e2 = E.add_fast(
+            _take(pref, slice(1, None)), E.neg(_take(pref, slice(0, -1)))
+        )
+        nb = bucket.x.shape[0]  # static: 2^c - 1
+        sfx, e3 = prefix_scan_points_fast(E, bucket, reverse=True)
+        s, e4 = sum_points_fast(E, sfx)
+        if nb > 1:
+            s = E.add(s, E.neg(E.offset_point((), mult=nb)))  # safe un-blind
+        return s, e1 | jnp.any(e2) | e3 | e4
+
     def one_window(keys_in):
         _, order = jax.lax.sort_key_val(keys_in, jnp.arange(n, dtype=jnp.int32))
         hi = bucket_bounds_hist(keys_in, c)
         sx, sy = ax[order], ay[order]
         inner, offsets, w, exc = prefix_scan_parts_affine_fast(E, sx, sy)
-        fast = window_from_scan(hi, inner, offsets, w, E.offset_point(()))
+        fast, exc2 = window_from_scan_fast(hi, inner, offsets, w)
 
         def safe_path(_):
             sid = aident[order]
             inner_s, offsets_s, ws = prefix_scan_parts_affine(E, sx, sy, sid)
-            return window_from_scan(hi, inner_s, offsets_s, ws, E.identity(()))
+            return window_from_scan_safe(hi, inner_s, offsets_s, ws)
 
         # exceptions are impossible unless inputs align with the blinding
-        # point; the safe recompute keeps the result exact even then
-        return jax.lax.cond(exc, safe_path, lambda _: fast, None)
+        # point (or, for tiny inputs, empty-bucket suffix collisions); the
+        # safe recompute keeps the result exact in every case
+        return jax.lax.cond(exc | exc2, safe_path, lambda _: fast, None)
 
     from .. import config as _cfg
 

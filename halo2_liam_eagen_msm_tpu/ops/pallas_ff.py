@@ -340,6 +340,39 @@ def k_ec_madd_fast(C: FieldConsts, X1, Y1, Z1, QX, QY):
     return ox, oy, oz, exc.astype(jnp.uint32)
 
 
+def k_ec_add_fast(C: FieldConsts, X1, Y1, Z1, X2, Y2, Z2):
+    """Generic Jacobian + Jacobian add with NO doubling path: ~11 mul + 4 sqr
+    vs ~33 modmuls for the complete k_ec_add (which computes an unconditional
+    double).  Identity OPERANDS pass through exactly (cheap selects).  The
+    h == 0, r != 0 case (P + -P) yields z3 = 0 — a VALID identity encoding —
+    so only the true doubling case (h == 0, r == 0, both non-identity) is
+    flagged in `exc` for the caller to recompute via the safe kernel.  Used
+    by the MSM bucket-query / triangle phases where operands are blinded
+    prefix values (doubling collisions require adversarial alignment)."""
+    z1z1 = k_sqr(C, Z1)
+    z2z2 = k_sqr(C, Z2)
+    u1 = k_mul(C, X1, z2z2)
+    u2 = k_mul(C, X2, z1z1)
+    s1 = k_mul(C, Y1, k_mul(C, Z2, z2z2))
+    s2 = k_mul(C, Y2, k_mul(C, Z1, z1z1))
+    h = k_sub(C, u2, u1)
+    r = k_sub(C, s2, s1)
+    hh = k_sqr(C, h)
+    hhh = k_mul(C, h, hh)
+    v = k_mul(C, u1, hh)
+    x3 = k_sub(C, k_sub(C, k_sqr(C, r), hhh), k_double(C, v))
+    y3 = k_sub(C, k_mul(C, r, k_sub(C, v, x3)), k_mul(C, s1, hhh))
+    z3 = k_mul(C, k_mul(C, Z1, Z2), h)
+
+    id1 = k_is_zero(Z1)
+    id2 = k_is_zero(Z2)
+    exc = (~id1) & (~id2) & k_is_zero(h) & k_is_zero(r)
+    ox = k_select(id2, X1, k_select(id1, X2, x3))
+    oy = k_select(id2, Y1, k_select(id1, Y2, y3))
+    oz = k_select(id2, Z1, k_select(id1, Z2, z3))
+    return ox, oy, oz, exc.astype(jnp.uint32)
+
+
 def k_ec_add(C: FieldConsts, curve: CurveSpec, X1, Y1, Z1, X2, Y2, Z2):
     """Branchless complete Jacobian add (same mask dispatch as EC.add)."""
     z1z1 = k_sqr(C, Z1)
@@ -540,6 +573,40 @@ def ec_add_mixed(curve: CurveSpec, x1, y1, z1, qx, qy, qm):
     return tuple(
         _from_lm(o, n).reshape(lead + (N_LIMBS,)) for o in (ox, oy, oz)
     )
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def ec_add_fast(curve: CurveSpec, x1, y1, z1, x2, y2, z2):
+    """Batched generic Jacobian + Jacobian addition (one pallas kernel), no
+    doubling path: returns (x3, y3, z3, exc); see k_ec_add_fast."""
+    C = field_consts(curve.field)
+    lead, flat = _flatten2(x1, y1, z1, x2, y2, z2)
+    n = flat[0].shape[0]
+    ins = [_to_lm(v) for v in flat]
+    nb = ins[0].shape[1]
+
+    def kern(x1r, y1r, z1r, x2r, y2r, z2r, xo, yo, zo, eo):
+        args = [_rows(r[:, 0]) for r in (x1r, y1r, z1r, x2r, y2r, z2r)]
+        ox, oy, oz, exc = k_ec_add_fast(C, *args)
+        xo[:, 0] = _stackrows(ox)
+        yo[:, 0] = _stackrows(oy)
+        zo[:, 0] = _stackrows(oz)
+        eo[0] = exc
+
+    shape = jax.ShapeDtypeStruct(ins[0].shape, jnp.uint32)
+    eshape = jax.ShapeDtypeStruct((nb, 8, 128), jnp.uint32)
+    espec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    ox, oy, oz, exc = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        out_shape=(shape, shape, shape, eshape),
+        in_specs=[_block_spec()] * 6,
+        out_specs=(_block_spec(), _block_spec(), _block_spec(), espec),
+        interpret=_interpret(),
+    )(*ins)
+    outs = tuple(_from_lm(o, n).reshape(lead + (N_LIMBS,)) for o in (ox, oy, oz))
+    exc_flat = exc.reshape(-1)[:n].reshape(lead)
+    return outs + (exc_flat,)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

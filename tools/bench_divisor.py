@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Divisor-witness throughput probe on real TPU (BASELINE config 3).
+
+Builds 2^logn points whose multiset sums to the identity, times
+compute_divisor_witness_partial, and verifies the witness closes and
+vanishes at input points.  Usage: python tools/bench_divisor.py [logn]
+"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+t00 = time.time()
+def log(m): print(f"[{time.time()-t00:7.1f}s] {m}", flush=True)
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+import jax.numpy as jnp
+import numpy as np
+import random
+from halo2_liam_eagen_msm_tpu.fields import PALLAS
+from halo2_liam_eagen_msm_tpu.limbs import ints_to_mont_limbs
+from halo2_liam_eagen_msm_tpu.ops.ec import JPoint, ec
+from halo2_liam_eagen_msm_tpu.divisor import compute_divisor_witness_partial, rf_eval
+from halo2_liam_eagen_msm_tpu.utils import pyref
+
+LOGN = int(sys.argv[1]) if len(sys.argv) > 1 else 14
+n = 1 << LOGN
+curve = PALLAS
+E = ec(curve)
+rng = random.Random(0xD1BEEF)
+
+# distinct random points tiled (divisor witness cost is data-independent);
+# make the multiset sum to zero by appending negations so output == identity
+m = 128
+base = pyref.random_points(rng, curve, m)
+neg = [pyref.ec_neg(p, curve) for p in base]
+pts_ints = (base * (n // (2 * m))) + (neg * (n // (2 * m)))
+pts = E.points_from_ints(pts_ints)
+log(f"points ready n={n}")
+
+t0 = time.time()
+wtns, out = compute_divisor_witness_partial(curve, pts)
+jax.device_get(wtns.a[0, :1])
+compile_s = time.time() - t0
+log(f"first run (incl. compile): {compile_s:.1f}s")
+
+reps = []
+for _ in range(3):
+    t0 = time.time()
+    wtns, out = compute_divisor_witness_partial(curve, pts)
+    jax.device_get(wtns.a[0, :1])
+    reps.append(time.time() - t0)
+best = min(reps)
+log(f"witness @2^{LOGN}: best={best:.3f}s  ({n/best:.0f} pts/s)  times={['%.2f'%t for t in reps]}")
+
+# closing + vanishing checks
+assert bool(np.asarray(E.is_identity(out)).all()), "must close to identity"
+probe = E.points_from_ints(base[:8])
+px, py, pid = E.to_affine(probe)
+v = rf_eval(curve, wtns, px, py)
+assert not np.asarray(v).any(), "witness must vanish at input points"
+log("vanishing check OK")

@@ -323,22 +323,25 @@ def prefix_scan_points(E: EC, p: JPoint, reverse: bool = False) -> JPoint:
 
 def window_digits(scalars, c: int, num_windows: int):
     """Extract c-bit windows from (N, 16) uint32 scalar limb arrays.
-    Returns (num_windows, N) int32 bucket ids."""
-    n = scalars.shape[0]
+    Returns (num_windows, N) int32 bucket ids.
+
+    A c-bit window (c <= 16) spans at most two 16-bit limbs, so each window
+    is two shifts + an or + a mask — not c single-bit extractions."""
+    assert c <= LIMB_BITS
     total_bits = N_LIMBS * LIMB_BITS
+    mask = np.uint32((1 << c) - 1)
     out = []
     for w in range(num_windows):
         lo_bit = w * c
-        acc = jnp.zeros((n,), dtype=jnp.int32)
-        for b in range(c):
-            bit_idx = lo_bit + b
-            if bit_idx >= total_bits:
-                break
-            limb = bit_idx // LIMB_BITS
-            off = bit_idx % LIMB_BITS
-            bit = (scalars[:, limb] >> off) & 1
-            acc = acc | (bit.astype(jnp.int32) << b)
-        out.append(acc)
+        limb = lo_bit // LIMB_BITS
+        off = lo_bit % LIMB_BITS
+        if lo_bit >= total_bits:
+            out.append(jnp.zeros((scalars.shape[0],), dtype=jnp.int32))
+            continue
+        acc = scalars[:, limb] >> off
+        if off + c > LIMB_BITS and limb + 1 < N_LIMBS:
+            acc = acc | (scalars[:, limb + 1] << (LIMB_BITS - off))
+        out.append((acc & mask).astype(jnp.int32))
     return jnp.stack(out)
 
 

@@ -29,7 +29,7 @@ which both conventions share.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -39,6 +39,7 @@ import numpy as np
 from .fields import CurveSpec, N_LIMBS
 from .ops.ec import EC, JPoint, ec
 from .ops.ff import ff
+from .ops.ntt import ntt
 from .ops import poly as P
 
 
@@ -58,6 +59,12 @@ class Level(NamedTuple):
 # ---------------------------------------------------------------------------
 # regular-function algebra (batched)
 # ---------------------------------------------------------------------------
+
+# Minimum incoming a-poly length for the fused eval-domain merge.  Below this
+# the coefficient path's naive products win (mirrors poly.NAIVE_THRESHOLD: the
+# big product's operands reach length >= 32 exactly when la >= 32).
+FUSE_MIN_LA = 32
+
 
 def rf_mul(curve: CurveSpec, f: RF, g: RF) -> RF:
     """(a1 + y b1)(a2 + y b2) with y^2 = x^3 + A x + B substituted
@@ -123,6 +130,29 @@ def _line_rf(lx, ly, lz) -> RF:
 # ---------------------------------------------------------------------------
 # seeds and merges
 # ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _eval_domain_consts(curve: CurveSpec, logn: int):
+    """Evaluation-domain constants for the fused merge at NTT size n = 2^logn:
+    W[j] = w^j and S[j] = (w^j)^3 + A w^j + B (the y^2 substitution values) in
+    Montgomery limb form, natural order — the same evaluation points the
+    forward NTT produces (ops/ntt.py)."""
+    from .limbs import ints_to_mont_limbs
+
+    spec = curve.field
+    assert logn <= spec.s
+    n = 1 << logn
+    w = spec.omega_pow(spec.s - logn)
+    ws = []
+    x = 1
+    for _ in range(n):
+        ws.append(x)
+        x = x * w % spec.p
+    svals = [(xj * xj % spec.p * xj + curve.a * xj + curve.b) % spec.p for xj in ws]
+    W = np.asarray(ints_to_mont_limbs(ws, spec), dtype=np.uint32)
+    S = np.asarray(ints_to_mont_limbs(svals, spec), dtype=np.uint32)
+    return W, S
+
 
 def _multi_affine(E: EC, pts_list):
     """Affine-normalize several point batches with ONE shared batch inversion."""
@@ -238,18 +268,98 @@ def merge_pairs(curve: CurveSpec, a: Level, b: Level) -> Level:
     ly = k.select(bypass, zero, ly)
     lz = k.select(bypass, one, lz)
 
+    # roots for the divisions: the affine x of the (pre-negation) outputs —
+    # x is negation-invariant so nax/nbx serve
+    root_a = k.select(bypass, jnp.broadcast_to(jnp.asarray(k.one), nax.shape), nax)
+    root_b = k.select(bypass, jnp.broadcast_to(jnp.asarray(k.one), nbx.shape), nbx)
+
+    if a.wtns.a.shape[-2] >= FUSE_MIN_LA:
+        return _merge_tail_fused(
+            curve, a, b, out, bypass, deg,
+            (lx, ly, lz), (nay, nby), (root_a, root_b),
+        )
+
     s = rf_mul(curve, b.wtns, _line_rf(lx, ly, lz))
     num = rf_mul(curve, a.wtns, s)
 
-    # divide both components by (x - ax)(x - bx); ax/bx are the affine x of
-    # the (pre-negation) outputs — x is negation-invariant so nax/nbx serve
-    root_a = k.select(bypass, jnp.broadcast_to(jnp.asarray(k.one), nax.shape), nax)
-    root_b = k.select(bypass, jnp.broadcast_to(jnp.asarray(k.one), nbx.shape), nbx)
     qa = P.kate_div(spec, P.kate_div(spec, num.a, root_a), root_b)
     qb = P.kate_div(spec, P.kate_div(spec, num.b, root_a), root_b)
 
     wa = k.select(bypass[..., None], num.a, qa)
     wb = k.select(bypass[..., None], num.b, qb)
+    return Level(out, RF(wa, wb))
+
+
+def _merge_tail_fused(curve, a, b, out, bypass, deg, line, neg_ys, roots):
+    """Fused evaluation-domain tail of `merge_pairs` for long polynomials.
+
+    Computes the whole numerator wtns_a * wtns_b * line with a single NTT
+    round trip — 4 forward NTTs, ~11 pointwise products (the y^2-substitution
+    polynomial becomes the precomputed value vector S), 2 inverse NTTs —
+    instead of one NTT per pairwise product (the coefficient path's
+    3 x mul_fft = 9+ transforms).  The two kate divisions by (x - root) are
+    also done pointwise: the merge numerator is *exactly* divisible by
+    (x - ax)(x - bx) whenever (i) neither output is 2-torsion (y = 0), (ii)
+    ax != bx (equal subtree outputs show up as the degenerate-line flag), and
+    (iii) no root coincides with an NTT evaluation point (denominator zero).
+    Under those conditions the pointwise quotient equals the reference's
+    synthetic division (kate_division drops an identically-zero remainder).
+    The rare violations are detected exactly and the whole level falls back
+    to coefficient-domain synthetic division via lax.cond, so results are
+    bit-identical to the coefficient path for every input.
+    """
+    k = ff(curve.field)
+    spec = curve.field
+    lx, ly, lz = line
+    nay, nby = neg_ys
+    root_a, root_b = roots
+
+    la, lb = a.wtns.a.shape[-2], a.wtns.b.shape[-2]
+    out_len_a = la + lb + 2  # deg(num.a) <= la+lb+1 (b1*b2*subst term)
+    out_len_b = la + lb + 1
+    n = 1 << (out_len_a - 1).bit_length()
+    logn = n.bit_length() - 1
+    Wc, Sc = _eval_domain_consts(curve, logn)
+    W = jnp.asarray(Wc)
+    S = jnp.asarray(Sc)
+
+    fa1 = ntt(spec, _pad_poly(a.wtns.a, n))
+    fb1 = ntt(spec, _pad_poly(a.wtns.b, n))
+    fa2 = ntt(spec, _pad_poly(b.wtns.a, n))
+    fb2 = ntt(spec, _pad_poly(b.wtns.b, n))
+
+    # (a1 + y b1)(a2 + y b2) = P + y Q with y^2 -> S
+    pv = k.add(k.mul(fa1, fa2), k.mul(k.mul(fb1, fb2), S))
+    qv = k.add(k.mul(fa1, fb2), k.mul(fb1, fa2))
+    # times the line (lz + lx x) + y ly
+    lv = k.add(lz[..., None, :], k.mul(lx[..., None, :], W))
+    lyv = ly[..., None, :]
+    num_a_v = k.add(k.mul(pv, lv), k.mul(k.mul(qv, S), lyv))
+    num_b_v = k.add(k.mul(pv, lyv), k.mul(qv, lv))
+
+    den = k.mul(k.sub(W, root_a[..., None, :]), k.sub(W, root_b[..., None, :]))
+    one_row = jnp.broadcast_to(jnp.asarray(k.one), den.shape)
+    den = jnp.where(bypass[..., None, None], one_row, den)
+
+    torsion = ~bypass & (k.is_zero(nay) | k.is_zero(nby))
+    unsafe = jnp.any(deg) | jnp.any(torsion) | jnp.any(k.is_zero(den))
+
+    def div_eval(num_a_v, num_b_v, den):
+        dinv = k.batch_inv(den, axis=-2)
+        wa = ntt(spec, k.mul(num_a_v, dinv), inverse=True, scale=True)
+        wb = ntt(spec, k.mul(num_b_v, dinv), inverse=True, scale=True)
+        return wa[..., :out_len_a, :], wb[..., :out_len_b, :]
+
+    def div_coeff(num_a_v, num_b_v, den):
+        num_a = ntt(spec, num_a_v, inverse=True, scale=True)[..., :out_len_a, :]
+        num_b = ntt(spec, num_b_v, inverse=True, scale=True)[..., :out_len_b, :]
+        qa = P.kate_div(spec, P.kate_div(spec, num_a, root_a), root_b)
+        qb = P.kate_div(spec, P.kate_div(spec, num_b, root_a), root_b)
+        wa = k.select(bypass[..., None], num_a, qa)
+        wb = k.select(bypass[..., None], num_b, qb)
+        return wa, wb
+
+    wa, wb = jax.lax.cond(unsafe, div_coeff, div_eval, num_a_v, num_b_v, den)
     return Level(out, RF(wa, wb))
 
 

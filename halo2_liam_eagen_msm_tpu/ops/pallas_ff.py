@@ -124,12 +124,22 @@ def _mont_reduce(C: FieldConsts, t):
         tl.append(v & MASK)
         carry = v >> LIMB_BITS
     t_lo_carry = carry
-    # m = low16(T_lo * mu)
+    # m = low16(T_lo * mu).  Static per-limb specialization: mu limbs that
+    # are 0 are skipped, 1 becomes an add, 0xffff becomes (x << 16) - x
+    # (one shift+sub instead of a 32-bit multiply).
     mcols = [zero] * n
     for i in range(n):
         ti = tl[i]
         for j in range(n - i):
-            pr = ti * np.uint32(C.mu[j])
+            muj = C.mu[j]
+            if muj == 0:
+                continue
+            if muj == 1:
+                pr = ti
+            elif muj == 0xFFFF:
+                pr = (ti << np.uint32(LIMB_BITS)) - ti
+            else:
+                pr = ti * np.uint32(muj)
             mcols[i + j] = mcols[i + j] + (pr & MASK)
             if i + j + 1 < n:
                 mcols[i + j + 1] = mcols[i + j + 1] + (pr >> LIMB_BITS)
@@ -139,12 +149,24 @@ def _mont_reduce(C: FieldConsts, t):
         v = mcols[k] + carry
         m.append(v & MASK)
         carry = v >> LIMB_BITS
-    # u = m * p (full)
+    # u = m * p (full).  The Pallas/Vesta base primes are SPARSE in 16-bit
+    # limbs (8 of 16 are zero, limb 0 is 1): zero limbs contribute nothing,
+    # limb values 1 need no multiply — this drops the u-product from 256 lane
+    # multiplies to ~112 for the primary curve cycle, for free, because the
+    # prime is a static kernel constant.
     u = [zero] * (2 * n + 1)
     for i in range(n):
         mi = m[i]
         for j in range(n):
-            pr = mi * np.uint32(C.p[j])
+            pj = C.p[j]
+            if pj == 0:
+                continue
+            if pj == 1:
+                pr = mi
+            elif pj == 0xFFFF:
+                pr = (mi << np.uint32(LIMB_BITS)) - mi
+            else:
+                pr = mi * np.uint32(pj)
             u[i + j] = u[i + j] + (pr & MASK)
             u[i + j + 1] = u[i + j + 1] + (pr >> LIMB_BITS)
     # carry out of the (cancelling) low halves

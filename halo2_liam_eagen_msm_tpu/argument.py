@@ -68,15 +68,19 @@ def gen_random_coeff(rng, spec: FieldSpec) -> int:
 def precompute_multiplicities(E: EC, pts: JPoint, base: int) -> JPoint:
     """Multiplicities 1*P .. (base-1)*P per point by repeated addition
     (reference :43-51).  pts: (N,) -> (base-1, N) stacked JPoint."""
-    acc = pts
-    outs = [acc]
-    for _ in range(base - 2):
-        acc = E.add(acc, pts)
-        outs.append(acc)
+    if base == 2:
+        return JPoint(pts.x[None], pts.y[None], pts.z[None])
+    # lax.scan so the repeated-add body compiles once (base - 2 unrolled adds
+    # would each be a fresh EC-add instantiation — expensive XLA:CPU compile)
+    def step(acc, _):
+        nxt = E.add(acc, pts)
+        return nxt, nxt
+
+    _, rest = jax.lax.scan(step, pts, None, length=base - 2)
     return JPoint(
-        jnp.stack([o.x for o in outs]),
-        jnp.stack([o.y for o in outs]),
-        jnp.stack([o.z for o in outs]),
+        jnp.concatenate([pts.x[None], rest.x]),
+        jnp.concatenate([pts.y[None], rest.y]),
+        jnp.concatenate([pts.z[None], rest.z]),
     )
 
 

@@ -373,9 +373,11 @@ class EC:
                     x, y, z = s.x, s.y, s.z
                     n = half
             return JPoint(x[0], y[0], z[0])
-        UNROLL = 2
-        while n > UNROLL:
-            groups = min(64, -(-n // UNROLL))
+        while n > 1:
+            # w = 1 on the last round: the scan itself finishes the reduction
+            # (no unrolled tail tree — every unrolled add is a fresh ~45-modmul
+            # instantiation, and XLA:CPU compile cost is linear in those)
+            groups = min(64, n)
             w = -(-n // groups)
             pad = groups * w - n
             if pad:
@@ -395,21 +397,6 @@ class EC:
             acc, _ = jax.lax.scan(step, self.identity((w,) + batch), tuple(rows))
             x, y, z = acc.x, acc.y, acc.z
             n = w
-        # unrolled tail tree
-        while n > 1:
-            half = n // 2
-            s = self.add(
-                JPoint(x[:half], y[:half], z[:half]),
-                JPoint(x[half:2 * half], y[half:2 * half], z[half:2 * half]),
-            )
-            if n % 2:
-                x = jnp.concatenate([s.x, x[2 * half:]], axis=0)
-                y = jnp.concatenate([s.y, y[2 * half:]], axis=0)
-                z = jnp.concatenate([s.z, z[2 * half:]], axis=0)
-                n = half + 1
-            else:
-                x, y, z = s.x, s.y, s.z
-                n = half
         return JPoint(x[0], y[0], z[0])
 
     # ------------------------------------------------------------ host utils

@@ -292,6 +292,17 @@ def prefix_scan_points(E: EC, p: JPoint, reverse: bool = False) -> JPoint:
         rev = _take(p, jnp.arange(n - 1, -1, -1))
         out = prefix_scan_points(E, rev, reverse=False)
         return _take(out, jnp.arange(n - 1, -1, -1))
+    if not _cfg.use_pallas() and n <= 64:
+        # tiny static sizes (compile checks / unit tests): one sequential
+        # scan = ONE compiled add body, instead of the blocked-parts
+        # recursion's 3+ distinct EC-add instantiations (XLA:CPU compile
+        # time is linear in instantiations; runtime is irrelevant here)
+        def step(carry, el):
+            nc = E.add(carry, JPoint(*el))
+            return nc, nc
+
+        _, out = jax.lax.scan(step, E.identity(()), tuple(p))
+        return out
     if _cfg.use_pallas() and n <= (1 << 12):
         d = 1
         while d < n:
@@ -469,13 +480,20 @@ def _best_multiexp_jit(
         _, order = jax.lax.sort_key_val(keys_in, jnp.arange(n, dtype=jnp.int32))
         hi = bucket_bounds_hist(keys_in, c)
         sx, sy = ax[order], ay[order]
-        inner, offsets, w, exc = prefix_scan_parts_affine_fast(E, sx, sy)
-        fast, exc2 = window_from_scan_fast(hi, inner, offsets, w)
 
         def safe_path(_):
             sid = aident[order]
             inner_s, offsets_s, ws = prefix_scan_parts_affine(E, sx, sy, sid)
             return window_from_scan_safe(hi, inner_s, offsets_s, ws)
+
+        # the blinded fast path is a throughput feature; at statically tiny N
+        # (compile checks, unit tests) the safe path alone wins AND avoids
+        # compiling both lax.cond branches — that halves an already large
+        # limb-arithmetic graph, which matters for the multi-chip CPU dry run
+        if n < 64:
+            return safe_path(None)
+        inner, offsets, w, exc = prefix_scan_parts_affine_fast(E, sx, sy)
+        fast, exc2 = window_from_scan_fast(hi, inner, offsets, w)
 
         # exceptions are impossible unless inputs align with the blinding
         # point (or, for tiny inputs, empty-bucket suffix collisions); the

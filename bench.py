@@ -36,7 +36,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import __graft_entry__ as _ge
+    _c = _ge._host_cache_dir(); __import__("os").makedirs(_c, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _c)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 

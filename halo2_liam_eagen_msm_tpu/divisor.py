@@ -39,7 +39,7 @@ import numpy as np
 from .fields import CurveSpec, N_LIMBS
 from .ops.ec import EC, JPoint, ec
 from .ops.ff import ff
-from .ops.ntt import ntt
+from .ops.ntt import intt_dit, ntt, ntt_dif
 from .ops import poly as P
 
 
@@ -134,10 +134,13 @@ def _line_rf(lx, ly, lz) -> RF:
 @lru_cache(maxsize=None)
 def _eval_domain_consts(curve: CurveSpec, logn: int):
     """Evaluation-domain constants for the fused merge at NTT size n = 2^logn:
-    W[j] = w^j and S[j] = (w^j)^3 + A w^j + B (the y^2 substitution values) in
-    Montgomery limb form, natural order — the same evaluation points the
-    forward NTT produces (ops/ntt.py)."""
+    W[i] = w^rev(i) and S[i] = W[i]^3 + A W[i] + B (the y^2 substitution
+    values) in Montgomery limb form, BIT-REVERSED order — the evaluation
+    order the gather-free forward transform produces (ops/ntt.py ntt_dif;
+    reordering the constants host-side is free, the on-device bit-reversal
+    gather it replaces is not)."""
     from .limbs import ints_to_mont_limbs
+    from .ops.ntt import _bitrev_perm
 
     spec = curve.field
     assert logn <= spec.s
@@ -148,6 +151,7 @@ def _eval_domain_consts(curve: CurveSpec, logn: int):
     for _ in range(n):
         ws.append(x)
         x = x * w % spec.p
+    ws = [ws[j] for j in _bitrev_perm(logn)]
     svals = [(xj * xj % spec.p * xj + curve.a * xj + curve.b) % spec.p for xj in ws]
     W = np.asarray(ints_to_mont_limbs(ws, spec), dtype=np.uint32)
     S = np.asarray(ints_to_mont_limbs(svals, spec), dtype=np.uint32)
@@ -323,10 +327,13 @@ def _merge_tail_fused(curve, a, b, out, bypass, deg, line, neg_ys, roots):
     W = jnp.asarray(Wc)
     S = jnp.asarray(Sc)
 
-    fa1 = ntt(spec, _pad_poly(a.wtns.a, n))
-    fb1 = ntt(spec, _pad_poly(a.wtns.b, n))
-    fa2 = ntt(spec, _pad_poly(b.wtns.a, n))
-    fb2 = ntt(spec, _pad_poly(b.wtns.b, n))
+    # gather-free transforms: everything below is pointwise in the
+    # evaluation domain, so the shared bit-reversed order of ntt_dif is as
+    # good as natural order and skips four N-row bit-reversal gathers
+    fa1 = ntt_dif(spec, _pad_poly(a.wtns.a, n))
+    fb1 = ntt_dif(spec, _pad_poly(a.wtns.b, n))
+    fa2 = ntt_dif(spec, _pad_poly(b.wtns.a, n))
+    fb2 = ntt_dif(spec, _pad_poly(b.wtns.b, n))
 
     # (a1 + y b1)(a2 + y b2) = P + y Q with y^2 -> S
     pv = k.add(k.mul(fa1, fa2), k.mul(k.mul(fb1, fb2), S))
@@ -346,13 +353,13 @@ def _merge_tail_fused(curve, a, b, out, bypass, deg, line, neg_ys, roots):
 
     def div_eval(num_a_v, num_b_v, den):
         dinv = k.batch_inv(den, axis=-2)
-        wa = ntt(spec, k.mul(num_a_v, dinv), inverse=True, scale=True)
-        wb = ntt(spec, k.mul(num_b_v, dinv), inverse=True, scale=True)
+        wa = intt_dit(spec, k.mul(num_a_v, dinv))
+        wb = intt_dit(spec, k.mul(num_b_v, dinv))
         return wa[..., :out_len_a, :], wb[..., :out_len_b, :]
 
     def div_coeff(num_a_v, num_b_v, den):
-        num_a = ntt(spec, num_a_v, inverse=True, scale=True)[..., :out_len_a, :]
-        num_b = ntt(spec, num_b_v, inverse=True, scale=True)[..., :out_len_b, :]
+        num_a = intt_dit(spec, num_a_v)[..., :out_len_a, :]
+        num_b = intt_dit(spec, num_b_v)[..., :out_len_b, :]
         qa = P.kate_div(spec, P.kate_div(spec, num_a, root_a), root_b)
         qb = P.kate_div(spec, P.kate_div(spec, num_b, root_a), root_b)
         wa = k.select(bypass[..., None], num_a, qa)

@@ -29,7 +29,7 @@ import numpy as np
 from ..fields import FieldSpec, N_LIMBS
 from ..limbs import ints_to_mont_limbs, mont_limbs_to_ints
 from .ff import ff
-from .ntt import ntt
+from .ntt import intt_dit, ntt, ntt_dif
 
 NAIVE_THRESHOLD = 32  # reference regular_functions_utils.rs:213
 
@@ -134,10 +134,13 @@ def mul_fft(spec: FieldSpec, a, b, out_len: int | None = None):
     la, lb = a.shape[-2], b.shape[-2]
     length = la + lb - 1
     n = 1 << (length - 1).bit_length()
-    fa = ntt(spec, _pad_to(a, n))
-    fb = ntt(spec, _pad_to(b, n))
+    # gather-free pair: pointwise product in the shared bit-reversed
+    # evaluation order, inverse back to natural coefficients (no on-device
+    # bit-reversal permutations; see ops/ntt.py)
+    fa = ntt_dif(spec, _pad_to(a, n))
+    fb = ntt_dif(spec, _pad_to(b, n))
     prod = k.mul(fa, fb)
-    res = ntt(spec, prod, inverse=True, scale=True)
+    res = intt_dit(spec, prod)
     return res[..., : (out_len or length), :]
 
 

@@ -24,9 +24,17 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the limb-arithmetic graphs are expensive to
-# compile on CPU; cache them across test runs.
-os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# compile on CPU; cache them across test runs.  The directory is keyed on the
+# host CPU (see __graft_entry__._host_cache_dir): XLA:CPU AOT entries embed
+# ISA features and segfault if loaded on a different machine.
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from __graft_entry__ import _host_cache_dir
+
+_cache = _host_cache_dir()
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

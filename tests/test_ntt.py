@@ -101,3 +101,21 @@ def test_ntt_batched(rng):
         mont_limbs_to_ints(np.asarray(back[i]), spec) for i in range(batch)
     ]
     assert got == xs
+
+
+@pytest.mark.parametrize("logn", [0, 1, 2, 4, 6])
+def test_ntt_dif_dit_pair(rng, logn):
+    """Gather-free pair: ntt_dif output is the bit-reversed ntt spectrum and
+    intt_dit inverts it back to natural coefficients exactly."""
+    from halo2_liam_eagen_msm_tpu.ops.ntt import _bitrev_perm, intt_dit, ntt_dif
+
+    spec = PALLAS_FP
+    n = 1 << logn
+    xs = [rng.randrange(spec.p) for _ in range(n)]
+    a = jnp.asarray(ints_to_mont_limbs(xs, spec))
+    dif = np.asarray(ntt_dif(spec, a))
+    full = np.asarray(ntt(spec, a))
+    perm = _bitrev_perm(logn)
+    assert (dif[perm] == full).all()
+    back = intt_dit(spec, jnp.asarray(dif))
+    assert mont_limbs_to_ints(np.asarray(back), spec) == xs

@@ -37,8 +37,11 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __graft_entry__ as _ge
+    _c = _ge._host_cache_dir(); os.makedirs(_c, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _c)
 
     import numpy as np
     import jax.numpy as jnp

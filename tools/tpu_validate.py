@@ -22,7 +22,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+import __graft_entry__ as _ge
+_c = _ge._host_cache_dir(); __import__("os").makedirs(_c, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _c)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from halo2_liam_eagen_msm_tpu.fields import PALLAS, PALLAS_FP

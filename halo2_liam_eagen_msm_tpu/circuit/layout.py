@@ -123,7 +123,19 @@ def build_layout(curve: CurveSpec, params: Params) -> Layout:
     s2sc.update(sc_sel(lambda i: i > 0 and i % (num_limbs + 1) == 0))
     s3sc.update(sc_sel(lambda i: 0 < i < num_limbs + 1))
     s0sc.update([1 if i % batch_size == 0 else 0 for i in range(bound)])
-    s4sc.update(sc_sel(lambda i: i % (num_limbs + 1) > 0 and i % base > 0))
+    # s4sc — third documented deviation: the reference writes
+    # `i%(num_limbs+1)>0 && i%base>0` (config.rs:459), which only
+    # approximates its own gate comment ("active on all cells corresponding
+    # to limbs / integrities", config.rs:415) when num_limbs+1 == base, and
+    # even then fires one row before each bucket, demanding the BUCKET value
+    # be lookup-able.  The intended chain semantics: fire at row j when both
+    # j and j+1 are limb/integrity cells (scalar and bucket rows are bridged
+    # by the rhs_2/rhs_3 variants).
+    s4sc.update(sc_sel(
+        lambda i: i % (num_limbs + 1) != 0
+        and (i + 1) % (num_limbs + 1) != 0
+        and i + 1 < sc_box_size
+    ))
 
     # lookup table placement (config.rs:466-501): one empty buffer batch, then
     # fill non-skip rows of remaining batches, overflowing past A1 if needed

@@ -332,6 +332,23 @@ def prefix_scan_points(E: EC, p: JPoint, reverse: bool = False) -> JPoint:
 # Pippenger
 # ---------------------------------------------------------------------------
 
+def _pack_pair(ax, ay):
+    """(N, 16) x/y uint32 16-bit-limb arrays -> (N, 16) packed rows
+    (two limbs per word, x in cols 0..7, y in cols 8..15): one 64-byte row
+    per point keeps the sorted-order gather on the fast side of the TPU
+    row-gather cliff.  The affine identity (0, 0) stays all-zero."""
+    def pack(v):
+        return v[:, 0::2] | (v[:, 1::2] << 16)
+    return jnp.concatenate([pack(ax), pack(ay)], axis=1)
+
+
+def _unpack_pair(rows):
+    """(M, 16) packed rows -> (sx, sy) (M, 16) 16-bit-limb arrays."""
+    def unpack(v):
+        return jnp.stack([v & 0xFFFF, v >> 16], axis=2).reshape(v.shape[0], 16)
+    return unpack(rows[:, :8]), unpack(rows[:, 8:16])
+
+
 def window_digits(scalars, c: int, num_windows: int):
     """Extract c-bit windows from (N, 16) uint32 scalar limb arrays.
     Returns (num_windows, N) int32 bucket ids.
@@ -424,10 +441,13 @@ def _best_multiexp_jit(
 
     # normalize the input points ONCE (shared batch inversion): every window's
     # dominant scan then runs on mixed (Jacobian + affine) additions.
-    # NOTE the per-window sorted-order gathers are kept as two (N, 16) row
-    # gathers: measured on v5e, a single interleaved (N, 32) gather runs ~3x
-    # slower than the pair (TPU row gathers fall off a cliff past 64B rows).
+    # The per-window sorted-order gather moves ONE (N, 16) uint32 row per
+    # point with both coordinates' 16-bit limbs packed two per word: TPU row
+    # gathers cost per-INDEX up to 64-byte rows (measured v5e: one packed
+    # 64 B gather 7.7 ms at 2^20 vs 14.6 ms for the two-array form and
+    # 42 ms for 128 B rows), so packing halves the dominant window stage.
     ax, ay, aident = E.to_affine(pts)
+    pay = _pack_pair(ax, ay)  # (N, 16) uint32
 
     def window_from_scan_safe(hi, inner, offsets, w):
         """Bucket sums + triangle reduction from a prefix-scan decomposition,
@@ -479,10 +499,11 @@ def _best_multiexp_jit(
     def one_window(keys_in):
         _, order = jax.lax.sort_key_val(keys_in, jnp.arange(n, dtype=jnp.int32))
         hi = bucket_bounds_hist(keys_in, c)
-        sx, sy = ax[order], ay[order]
+        sx, sy = _unpack_pair(pay[order])
 
         def safe_path(_):
-            sid = aident[order]
+            # affine identity (0, 0) <=> all-zero y row (prime-order curves)
+            sid = (jnp.sum((sy != 0).astype(jnp.int32), axis=1) == 0)
             inner_s, offsets_s, ws = prefix_scan_parts_affine(E, sx, sy, sid)
             return window_from_scan_safe(hi, inner_s, offsets_s, ws)
 

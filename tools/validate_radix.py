@@ -2,10 +2,11 @@
 """Validate ops/radix.radix_window bit-exactly against a numpy model.
 
 Checks, for random keys/payloads (with identity rows interspersed):
-  * main rows are bucket-contiguous and contain exactly the non-spilled
-    valid rows (multiset equality per bucket vs the numpy slot simulation)
-  * hi[] matches the main-row bucket counts (bucket_bounds_hist convention)
-  * spill rows are exactly the numpy-predicted spills
+  * the output stream is bucket-contiguous and contains exactly the
+    non-spilled valid rows in (partition, fine, tile-major) order, with
+    zero ghost rows padding each partition to the DMA alignment unit
+  * hi[] matches the model's per-bucket end positions
+  * spill rows/keys are exactly the numpy-predicted spills
   * overflow flag agrees
 
 Usage: python tools/validate_radix.py [--logn 13] [--c 15] [--seed 3]
@@ -21,57 +22,59 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def numpy_model(plan, keys, pay):
-    """Slot-exact simulation of pass A + transpose + pass B."""
+    """Slot-exact simulation of pass A + transpose + pass B + compact."""
+    from halo2_liam_eagen_msm_tpu.ops.radix import GHOST
+
     n, T, P, S, SP = plan.n, plan.T, plan.P, plan.S, plan.SP
     n_tiles = n // T
     valid = (pay != 0).any(axis=1)
     coarse = keys >> plan.fb
-    # per (tile, partition) slot fill, tile-major row order
     slots = [[[] for _ in range(P)] for _ in range(n_tiles)]
     spills = [[] for _ in range(n_tiles)]
+    spill_keys = [[] for _ in range(n_tiles)]
     for i in range(n):
         if not valid[i]:
             continue
         t = i // T
         p = int(coarse[i])
-        row = pay[i].copy()
-        row[0] |= np.uint32(keys[i]) << 16
         if len(slots[t][p]) < S:
-            slots[t][p].append(row)
+            slots[t][p].append((pay[i], int(keys[i])))
         elif len(spills[t]) < SP:
-            spills[t].append(row)
+            spills[t].append(pay[i])
+            spill_keys[t].append(int(keys[i]))
     overflow = False
-    for t in range(n_tiles):
-        need = sum(1 for i in range(t * T, (t + 1) * T)
-                   if valid[i] and len(slots[t][int(coarse[i])]) >= 0)
-    # overflow: recount exactly
     for t in range(n_tiles):
         cnt = np.zeros(P, np.int64)
         for i in range(t * T, (t + 1) * T):
             if valid[i]:
                 cnt[coarse[i]] += 1
-        spill_need = int(np.maximum(cnt - S, 0).sum())
-        if spill_need > SP:
+        if int(np.maximum(cnt - S, 0).sum()) > SP:
             overflow = True
-    # partition-major, fine-stable order
-    main_sorted = []
+    # partition-major, fine-stable order, ghost-padded per partition
+    stream = []
     fine_counts = np.zeros((P, 1 << plan.fb), np.int64)
+    bases = []
+    fmask = (1 << plan.fb) - 1
     for p in range(P):
         rows = []
         for t in range(n_tiles):
             rows.extend(slots[t][p])
-        rows.sort(key=lambda r: (r[0] >> 16) & ((1 << plan.fb) - 1))
-        for r in rows:
-            fine_counts[p][(r[0] >> 16) & ((1 << plan.fb) - 1)] += 1
-        main_sorted.extend(rows)
-    hi = np.cumsum(fine_counts.reshape(-1)) - 1
-    spill_rows = []
+        rows.sort(key=lambda rk: rk[1] & fmask)
+        for _, k in rows:
+            fine_counts[p][k & fmask] += 1
+        bases.append(len(stream))
+        stream.extend(r for r, _ in rows)
+        stream.extend([np.zeros(16, np.uint32)] * ((-len(rows)) % GHOST))
+    bases = np.array(bases)
+    hi = (bases[:, None] + np.cumsum(fine_counts, axis=1) - 1).reshape(-1)
+    sp_pay, sp_keys = [], []
     for t in range(n_tiles):
-        spill_rows.extend(spills[t])
-        spill_rows.extend([np.zeros(32, np.uint32)] * (SP - len(spills[t])))
-    return (np.array(main_sorted).reshape(-1, 32) if main_sorted else
-            np.zeros((0, 32), np.uint32)), hi.astype(np.int64), \
-        np.array(spill_rows).reshape(-1, 32), overflow
+        sp_pay.extend(spills[t])
+        sp_pay.extend([np.zeros(16, np.uint32)] * (SP - len(spills[t])))
+        sp_keys.extend(spill_keys[t])
+        sp_keys.extend([0] * (SP - len(spill_keys[t])))
+    return (np.array(stream).reshape(-1, 16), hi.astype(np.int64),
+            np.array(sp_pay).reshape(-1, 16), np.array(sp_keys), overflow)
 
 
 def main():
@@ -92,53 +95,42 @@ def main():
           f"OUT_ROWS={plan.OUT_ROWS} R={plan.R} R_pad={plan.R_pad}")
 
     keys = rng.integers(0, 1 << args.c, size=n).astype(np.int32)
-    pay = rng.integers(0, 1 << 16, size=(n, 32), dtype=np.uint32)
-    # sprinkle identities (both halves zero) and zero keys
+    pay = rng.integers(0, 1 << 32, size=(n, 16), dtype=np.uint32)
     ident = rng.random(n) < 0.01
     pay[ident] = 0
     keys[rng.random(n) < 0.01] = 0
 
-    sx, sy, hi, spill, overflow = radix.radix_window(
+    sorted_pay, hi, spill_pay, spill_keys, overflow = radix.radix_window(
         plan, jnp.asarray(keys), jnp.asarray(pay)
     )
-    sx, sy, hi, spill = (np.asarray(sx), np.asarray(sy), np.asarray(hi),
-                         np.asarray(spill))
+    sorted_pay, hi = np.asarray(sorted_pay), np.asarray(hi)
+    spill_pay, spill_keys = np.asarray(spill_pay), np.asarray(spill_keys)
     overflow = bool(overflow)
 
-    m_main, m_hi, m_spill, m_overflow = numpy_model(plan, keys, pay)
+    m_main, m_hi, m_spill, m_spill_keys, m_overflow = numpy_model(
+        plan, keys, pay)
 
     assert overflow == m_overflow, (overflow, m_overflow)
     nvalid = m_main.shape[0]
-    got_main = np.concatenate(
-        [sx, sy], axis=1
-    )[:nvalid]
-    # radix strips the key bits from col 0 of sx; strip them in the model too
-    m_x = m_main[:, :16].copy()
-    m_x[:, 0] &= 0xFFFF
-    m_y = m_main[:, 16:]
-    want_main = np.concatenate([m_x, m_y], axis=1)
-    # within (bucket) the order must agree EXACTLY (tile-major stable)
-    ok_main = np.array_equal(got_main, want_main)
+    assert sorted_pay.shape[0] == plan.n_ext and nvalid <= plan.n_ext
+    ok_main = np.array_equal(sorted_pay[:nvalid], m_main)
     print("main rows exact:", ok_main)
     if not ok_main:
-        bad = np.argwhere((got_main != want_main).any(axis=1)).ravel()
+        bad = np.argwhere((sorted_pay[:nvalid] != m_main).any(axis=1)).ravel()
         print("  first bad rows:", bad[:5], "of", nvalid)
         i = bad[0]
-        print("  got ", got_main[i][:4], "...")
-        print("  want", want_main[i][:4], "...")
-    # tail must be zero rows
-    ok_tail = (sy[nvalid:] == 0).all()
+        print("  got ", sorted_pay[i][:4], "...")
+        print("  want", m_main[i][:4], "...")
+    ok_tail = (sorted_pay[nvalid:] == 0).all()
     print("tail identity:", bool(ok_tail))
     ok_hi = np.array_equal(hi, m_hi)
     print("hi exact:", ok_hi)
     if not ok_hi:
         bad = np.argwhere(hi != m_hi).ravel()
         print("  first bad buckets:", bad[:5], hi[bad[:5]], m_hi[bad[:5]])
-    ok_spill = np.array_equal(spill, m_spill)
+    ok_spill = (np.array_equal(spill_pay, m_spill)
+                and np.array_equal(spill_keys, m_spill_keys))
     print("spill exact:", ok_spill)
-    if not ok_spill:
-        bad = np.argwhere((spill != m_spill).any(axis=1)).ravel()
-        print("  first bad spill rows:", bad[:5], "of", m_spill.shape[0])
     print("ALL OK" if (ok_main and ok_tail and ok_hi and ok_spill) else "FAIL")
 
 

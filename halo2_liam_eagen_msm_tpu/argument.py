@@ -142,6 +142,100 @@ def _rounds_and_carries(curve: CurveSpec, base: int, digits, pts: JPoint):
     return round_pts, final_carry
 
 
+@partial(jax.jit, static_argnums=(0, 1))
+def _carries_only(curve: CurveSpec, base: int, digits, pts: JPoint):
+    """Carry recurrence WITHOUT materializing the (d, S) slot tensor — the
+    production-scale path (at N = 2^20 the full tensor is ~11 GB; BASELINE
+    config 4).  Per-round digit sums via lax.map keep peak memory at one
+    round's gather.  Returns (carry_prev (d,), carry_new (d,), final)."""
+    E = ec(curve)
+    precomp = precompute_multiplicities(E, pts, base)  # (base-1, N)
+    n = pts.x.shape[0]
+    cols = jnp.arange(n)
+
+    def round_sum(digits_k):
+        idx = jnp.clip(digits_k - 1, 0, base - 2)
+        sel = JPoint(
+            precomp.x[idx, cols], precomp.y[idx, cols],
+            jnp.where((digits_k == 0)[:, None], 0, precomp.z[idx, cols]),
+        )
+        s = E.sum(sel, axis=0)
+        return s.x, s.y, s.z
+
+    sx, sy, sz = jax.lax.map(round_sum, digits)
+    s_round = JPoint(sx, sy, sz)
+
+    def step(carry, s_i):
+        c1 = E.scalar_mul_small(E.neg(carry), base)
+        new = E.add(c1, JPoint(*s_i))
+        return new, (carry, new)
+
+    final, (carry_prev, carry_new) = jax.lax.scan(
+        step, E.identity(()), tuple(s_round)
+    )
+    return carry_prev, carry_new, final
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _one_round_slots(curve: CurveSpec, base: int, digits_k, precomp: JPoint,
+                     carry_prev, carry_new):
+    """One round's slotted point list (S,) = [base x (-carry_prev)] + digit
+    slots + [-carry_new] — the streaming counterpart of _rounds_and_carries'
+    assembly, identical slot semantics.  precomp: (base-1, N) multiplicity
+    table (computed once by the caller; ~3 full-width EC adds per reuse
+    saved)."""
+    E = ec(curve)
+    n = precomp.x.shape[1]
+    cols = jnp.arange(n)
+    idx = jnp.clip(digits_k - 1, 0, base - 2)
+    sel = JPoint(
+        precomp.x[idx, cols], precomp.y[idx, cols],
+        jnp.where((digits_k == 0)[:, None], 0, precomp.z[idx, cols]),
+    )
+    neg_prev = E.neg(carry_prev)
+    neg_new = E.neg(carry_new)
+    return JPoint(
+        jnp.concatenate([jnp.repeat(neg_prev.x[None], base, 0), sel.x,
+                         neg_new.x[None]]),
+        jnp.concatenate([jnp.repeat(neg_prev.y[None], base, 0), sel.y,
+                         neg_new.y[None]]),
+        jnp.concatenate([jnp.repeat(neg_prev.z[None], base, 0), sel.z,
+                         neg_new.z[None]]),
+    )
+
+
+def compute_lhs_witness_streamed(curve: CurveSpec, scalars, pts: JPoint,
+                                 base: int, round_callback):
+    """Production-scale compute_lhs_witness: the d digit rounds are computed
+    ONE AT A TIME (peak memory = one round's merge tree instead of d of
+    them), each passed to `round_callback(k, wtns_k, out_k)`.  Rounds arrive
+    msb-first (reference round order BEFORE its final reversal, :132).
+    Returns the final carry (== sum_i s_i P_i, oracle-checked in tests)."""
+    from .divisor import compute_divisor_witness_partial
+
+    E = ec(curve)
+    n = pts.x.shape[0]
+    assert len(scalars) == n, "incompatible amount of coefficients"
+    sq_p = math.isqrt(order(curve.scalar_field)) + 2
+    for s in scalars:
+        assert 0 <= s < sq_p, "scalar out of range"
+    d = num_digits_for(curve, base)
+    digits = negbase_decompose_batch(ints_to_limbs(scalars), base, d)
+    digits_msb = jnp.asarray(digits[:, ::-1].T.astype(np.int32))  # (d, N)
+
+    carry_prev, carry_new, final = _carries_only(curve, base, digits_msb, pts)
+    precomp = jax.jit(lambda p: precompute_multiplicities(E, p, base))(pts)
+    for k in range(d):
+        rp = _one_round_slots(
+            curve, base, digits_msb[k], precomp,
+            JPoint(carry_prev.x[k], carry_prev.y[k], carry_prev.z[k]),
+            JPoint(carry_new.x[k], carry_new.y[k], carry_new.z[k]),
+        )
+        wtns_k, out_k = compute_divisor_witness_partial(curve, rp)
+        round_callback(k, wtns_k, out_k)
+    return final
+
+
 def compute_lhs_witness(
     curve: CurveSpec,
     scalars,

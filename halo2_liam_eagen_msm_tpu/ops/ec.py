@@ -271,6 +271,53 @@ class EC:
         out = self.select(id2, p, JPoint(x3, y3, z3))
         return out, exc
 
+    # ------------------------------------------------------------- XYZZ form
+    # x = X/ZZ, y = Y/ZZZ with ZZ^3 = ZZZ^2; identity encoded ZZ = ZZZ = 0.
+    # Carried by the MSM's blinded prefix scan: the cached ZZ/ZZZ make the
+    # z^2/z^3 of every mixed add free (8M + 2S vs Jacobian fast's 8M + 3S).
+
+    def madd_xyzz_fast(self, x, y, zz, zzz, qx, qy):
+        """XYZZ + affine fast add: returns (x3, y3, zz3, zzz3, exc) with the
+        same exception contract as add_mixed_fast (affine identity = qy == 0
+        passes through unflagged; identity carry / carry == +-Q flags)."""
+        from .ff import _route_pallas
+
+        if _route_pallas(x, qx):
+            from . import pallas_ff
+            ox, oy, ozz, ozzz, exc = pallas_ff.ec_madd_xyzz_fast(
+                self.curve, x, y, zz, zzz, qx, qy
+            )
+            return ox, oy, ozz, ozzz, exc != 0
+        f = self.f
+        u2 = f.mul(qx, zz)
+        s2 = f.mul(qy, zzz)
+        pp_ = f.sub(u2, x)
+        r = f.sub(s2, y)
+        ppsq = f.sqr(pp_)
+        ppp = f.mul(pp_, ppsq)
+        q = f.mul(x, ppsq)
+        x3 = f.sub(f.sub(f.sqr(r), ppp), f.double(q))
+        y3 = f.sub(f.mul(r, f.sub(q, x3)), f.mul(y, ppp))
+        zz3 = f.mul(zz, ppsq)
+        zzz3 = f.mul(zzz, ppp)
+        id1 = f.is_zero(zz)
+        id2 = f.is_zero(qy)
+        exc = (~id2) & (id1 | f.is_zero(pp_))
+        sel = lambda a, b: f.select(id2, a, b)
+        return sel(x, x3), sel(y, y3), sel(zz, zz3), sel(zzz, zzz3), exc
+
+    def xyzz_offset(self, shape=()):
+        """The blinding point T in XYZZ form (affine, so ZZ = ZZZ = 1)."""
+        t = self.offset_point(shape)
+        one = jnp.broadcast_to(self.f.one, shape + (N_LIMBS,))
+        return t.x, t.y, one, one
+
+    def xyzz_to_jacobian(self, x, y, zz, zzz) -> JPoint:
+        """(X, Y, ZZ, ZZZ) -> Jacobian (X*ZZ^2, Y*ZZZ^2, ZZZ): exact for the
+        identity too (all-zero maps to all-zero = Jacobian identity)."""
+        f = self.f
+        return JPoint(f.mul(x, f.sqr(zz)), f.mul(y, f.sqr(zzz)), zzz)
+
     def offset_point(self, shape=(), mult: int = 1) -> JPoint:
         """Fixed nothing-up-my-sleeve blinding point T = [0x0EA6E4...]*G used
         to seed MSM prefix-scan carries so the fast (exception-free) adds are

@@ -50,12 +50,15 @@ def _take(p: JPoint, idx) -> JPoint:
 
 def _pick_block_width(n: int) -> int:
     """Sequential steps per block for the blocked scans.  On Pallas-class
-    backends few wide steps win (64 steps of n/64-lane kernels); on CPU a
-    ~sqrt split balances the two scan levels."""
+    backends few wide steps win — but only while each step stays at full
+    occupancy: keep g = n/w >= 2048 lanes (2 blocks) so mid-size scans
+    (e.g. the 2^c-1 bucket triangle) don't degrade into launch-bound
+    sequences of half-empty kernels.  On CPU a ~sqrt split balances the two
+    scan levels."""
     from .. import config as _cfg
 
     if _cfg.use_pallas():
-        return max(2, min(64, n))
+        return max(2, min(64, n // 2048))
     g = max(1, min(1 << ((int(math.isqrt(n - 1)) + 1).bit_length() - 1), 4096))
     # w >= 2 guarantees the block count g strictly shrinks, terminating the
     # parts -> block-totals-prefix recursion
@@ -153,17 +156,20 @@ def prefix_scan_parts_affine(E: EC, ax, ay, aident):
 def prefix_scan_parts_affine_fast(E: EC, ax, ay):
     """Offset-blinded fast variant of prefix_scan_parts_affine: every block
     carry is seeded at the fixed blinding point T (EC.offset_point), so the
-    inner scan can use the exception-free generic mixed add (3 sqr + 8 mul
-    instead of ~21 modmuls — the complete add computes an unconditional
-    double).  Exceptional slots (identity carry / carry == +-Q) cannot occur
-    unless inputs are adversarially aligned with T; they are *detected* and
+    inner scan can use the exception-free XYZZ mixed add (2 sqr + 8 mul vs
+    ~21 modmuls for the complete add) — the carried ZZ/ZZZ make each step's
+    z^2/z^3 free, one square cheaper than even the fast Jacobian madd.
+    Exceptional slots (identity carry / carry == +-Q) cannot occur unless
+    inputs are adversarially aligned with T; they are *detected* and
     reported so the caller can fall back to the safe scan.
 
     The affine identity is encoded as ay == 0 (to_affine's convention, exact
     on prime-order curves) — no separate mask array is streamed or padded.
 
-    Returns (inner, offsets, w, exc) with
-        offsets[i // w] + inner[i] = T + true_inclusive_prefix[i]
+    Returns (inner, offsets, w, exc):
+        inner    XYZZ 4-tuple of (g*w, 16) arrays,
+        offsets  Jacobian JPoint (g,),
+    with offsets[i // w] + inner[i] = T + true_inclusive_prefix[i]
     (exactly one T regardless of position — block totals are un-blinded
     before the offsets recursion), and exc a scalar bool."""
     n = ax.shape[0]
@@ -179,18 +185,19 @@ def prefix_scan_parts_affine_fast(E: EC, ax, ay):
     def step(carry, el):
         pt, ex = carry
         qx, qy = el
-        nc, e = E.add_mixed_fast(pt, qx, qy)
-        return (nc, ex | e), nc
+        nx, ny, nzz, nzzz, e = E.madd_xyzz_fast(*pt, qx, qy)
+        return ((nx, ny, nzz, nzzz), ex | e), (nx, ny, nzz, nzzz)
 
-    t0 = E.offset_point((g,))
-    (totals_t, exc_v), inner = jax.lax.scan(
+    t0 = E.xyzz_offset((g,))
+    ((tx, ty, tzz, tzzz), exc_v), inner4 = jax.lax.scan(
         step, (t0, jnp.zeros((g,), dtype=bool)), (xc, yc)
     )
     exc = jnp.any(exc_v)
-    inner = JPoint(*(_from_cols(c, g, w) for c in inner))
+    inner = tuple(_from_cols(c, g, w) for c in inner4)
     if g == 1:
         return inner, E.identity((1,)), w, exc
     # un-blind the block totals (safe full adds, only g elements)
+    totals_t = E.xyzz_to_jacobian(tx, ty, tzz, tzzz)
     totals = E.add(totals_t, E.neg(E.offset_point((g,))))
     tot_prefix = prefix_scan_points(E, totals)
     ident = E.identity((1,))
@@ -472,15 +479,17 @@ def _best_multiexp_jit(
     def window_from_scan_fast(hi, inner, offsets, w):
         """Fast-add twin of window_from_scan_safe for the blinded scan
         decomposition (every prefix carries exactly one T; the empty prefix
-        IS T, so bucket differences are true values).  The triangle suffix
-        scan and the final sum are re-blinded fast scans; their accumulated
-        (2^c - 1) copies of T are cancelled with one precomputed [2^c-1]T.
-        Returns (point, exc) — exc ORs every fast-add flag."""
+        IS T, so bucket differences are true values).  `inner` arrives in
+        XYZZ form; only the O(2^c) queried values are converted to Jacobian.
+        The triangle suffix scan and the final sum are re-blinded fast
+        scans; their accumulated (2^c - 1) copies of T are cancelled with
+        one precomputed [2^c-1]T.  Returns (point, exc)."""
         base = E.offset_point(())
 
         def pref_at(idx):
             safe = jnp.maximum(idx, 0)
-            pt, e = E.add_fast(_take(offsets, safe // w), _take(inner, safe))
+            iq = E.xyzz_to_jacobian(*(c[safe] for c in inner))
+            pt, e = E.add_fast(_take(offsets, safe // w), iq)
             basep = JPoint(*(jnp.broadcast_to(cc, idx.shape + (N_LIMBS,))
                              for cc in base))
             return E.select(idx >= 0, pt, basep), jnp.any(e)

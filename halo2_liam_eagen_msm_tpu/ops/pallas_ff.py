@@ -362,6 +362,35 @@ def k_ec_madd_fast(C: FieldConsts, X1, Y1, Z1, QX, QY):
     return ox, oy, oz, exc.astype(jnp.uint32)
 
 
+def k_ec_madd_xyzz_fast(C: FieldConsts, X1, Y1, ZZ1, ZZZ1, QX, QY):
+    """XYZZ + affine mixed add (madd-2008-s), NO exceptional paths: 8 mul +
+    2 sqr — one square cheaper than the Jacobian k_ec_madd_fast because the
+    carried ZZ/ZZZ make z1^2/z1^3 free.  Representation: x = X/ZZ, y = Y/ZZZ
+    with ZZ^3 = ZZZ^2; identity encoded ZZ = 0.  Affine identity is QY == 0
+    (passthrough, unflagged); exc flags identity carry / carry == +-Q rows
+    for the caller's safe recompute — same contract as k_ec_madd_fast."""
+    u2 = k_mul(C, QX, ZZ1)
+    s2 = k_mul(C, QY, ZZZ1)
+    pp_ = k_sub(C, u2, X1)
+    r = k_sub(C, s2, Y1)
+    ppsq = k_sqr(C, pp_)
+    ppp = k_mul(C, pp_, ppsq)
+    q = k_mul(C, X1, ppsq)
+    x3 = k_sub(C, k_sub(C, k_sqr(C, r), ppp), k_double(C, q))
+    y3 = k_sub(C, k_mul(C, r, k_sub(C, q, x3)), k_mul(C, Y1, ppp))
+    zz3 = k_mul(C, ZZ1, ppsq)
+    zzz3 = k_mul(C, ZZZ1, ppp)
+
+    id1 = k_is_zero(ZZ1)
+    id2 = k_is_zero(QY)
+    exc = (~id2) & (id1 | k_is_zero(pp_))
+    ox = k_select(id2, X1, x3)
+    oy = k_select(id2, Y1, y3)
+    ozz = k_select(id2, ZZ1, zz3)
+    ozzz = k_select(id2, ZZZ1, zzz3)
+    return ox, oy, ozz, ozzz, exc.astype(jnp.uint32)
+
+
 def k_ec_add_fast(C: FieldConsts, X1, Y1, Z1, X2, Y2, Z2):
     """Generic Jacobian + Jacobian add with NO doubling path: ~11 mul + 4 sqr
     vs ~33 modmuls for the complete k_ec_add (which computes an unconditional
@@ -662,6 +691,42 @@ def ec_add_mixed_fast(curve: CurveSpec, x1, y1, z1, qx, qy):
         interpret=_interpret(),
     )(*ins)
     outs = tuple(_from_lm(o, n).reshape(lead + (N_LIMBS,)) for o in (ox, oy, oz))
+    exc_flat = exc.reshape(-1)[:n].reshape(lead)
+    return outs + (exc_flat,)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def ec_madd_xyzz_fast(curve: CurveSpec, x1, y1, zz1, zzz1, qx, qy):
+    """Batched XYZZ + affine addition (one pallas kernel), no exceptional
+    paths: returns (x3, y3, zz3, zzz3, exc); see k_ec_madd_xyzz_fast."""
+    C = field_consts(curve.field)
+    lead, flat = _flatten2(x1, y1, zz1, zzz1, qx, qy)
+    n = flat[0].shape[0]
+    ins = [_to_lm(v) for v in flat]
+    nb = ins[0].shape[1]
+
+    def kern(x1r, y1r, zz1r, zzz1r, qxr, qyr, xo, yo, zzo, zzzo, eo):
+        args = [_rows(r[:, 0]) for r in (x1r, y1r, zz1r, zzz1r, qxr, qyr)]
+        ox, oy, ozz, ozzz, exc = k_ec_madd_xyzz_fast(C, *args)
+        xo[:, 0] = _stackrows(ox)
+        yo[:, 0] = _stackrows(oy)
+        zzo[:, 0] = _stackrows(ozz)
+        zzzo[:, 0] = _stackrows(ozzz)
+        eo[0] = exc
+
+    shape = jax.ShapeDtypeStruct(ins[0].shape, jnp.uint32)
+    eshape = jax.ShapeDtypeStruct((nb, 8, 128), jnp.uint32)
+    espec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    ox, oy, ozz, ozzz, exc = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        out_shape=(shape, shape, shape, shape, eshape),
+        in_specs=[_block_spec()] * 6,
+        out_specs=(_block_spec(),) * 4 + (espec,),
+        interpret=_interpret(),
+    )(*ins)
+    outs = tuple(_from_lm(o, n).reshape(lead + (N_LIMBS,))
+                 for o in (ox, oy, ozz, ozzz))
     exc_flat = exc.reshape(-1)[:n].reshape(lead)
     return outs + (exc_flat,)
 

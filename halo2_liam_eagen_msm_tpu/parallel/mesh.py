@@ -106,3 +106,61 @@ def sharded_divisor_witness(curve: CurveSpec, mesh: Mesh, round_pts: JPoint):
     merge level (no cross-chip polynomial traffic)."""
     placed = shard_rounds(mesh, round_pts)
     return compute_divisor_witness_partial(curve, placed)
+
+
+def points_sharded_divisor_witness(curve: CurveSpec, mesh: Mesh, pts: JPoint):
+    """ONE round's merge tree with the POINT axis sharded over the mesh —
+    the intra-round dimension a single 2^24-point round (BASELINE config 5)
+    needs, which round-sharding cannot provide (SURVEY.md §7 step 8).
+
+    Strategy: each chip runs the level-synchronous local tree over its
+    contiguous S/D-point shard down to ONE propagation, the D propagations
+    are all_gather'd over ICI (a-poly + b-poly + output point per chip —
+    the only cross-chip traffic), and the top log2(D) merge levels run
+    replicated on every chip.  Because the local chunks are contiguous and
+    the pairing order is positional, the combined tree is EXACTLY the
+    single-chip tree — coefficients are bit-identical to
+    compute_divisor_witness_partial (asserted in tests and the driver
+    dryrun).  Replicating the top levels costs O(S log D) redundant field
+    muls but zero extra collectives; a fully distributed NTT (all_to_all)
+    for the top levels is the config-5 scaling refinement.
+
+    pts: (S,) JPoint with S divisible by 2 * mesh size (identity-pad).
+    Returns (RF witness, output JPoint), replicated."""
+    from ..divisor import Level, _merge_level_jit, _seeds_jit
+
+    E = ec(curve)
+    axis = mesh.axis_names[0]
+    d = mesh.devices.size
+    s = pts.x.shape[0]
+    assert s % (2 * d) == 0, "pad the point list to a multiple of 2*mesh"
+    s_local = s // d
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def run(px, py, pz):
+        lv = _seeds_jit(curve, JPoint(px, py, pz))
+        b_sem = 1
+        while lv.out.x.shape[-2] > 1:
+            b_sem *= 2
+            lv = _merge_level_jit(curve, b_sem + 1, b_sem, lv)
+        ga = jax.lax.all_gather(lv.wtns.a[0], axis)  # (D, La, 16)
+        gb = jax.lax.all_gather(lv.wtns.b[0], axis)
+        gox = jax.lax.all_gather(lv.out.x[0], axis)  # (D, 16)
+        goy = jax.lax.all_gather(lv.out.y[0], axis)
+        goz = jax.lax.all_gather(lv.out.z[0], axis)
+        top = Level(JPoint(gox, goy, goz), RF(ga, gb))
+        bs = b_sem
+        while top.out.x.shape[-2] > 1:
+            bs *= 2
+            top = _merge_level_jit(curve, bs + 1, bs, top)
+        return (top.wtns.a[0], top.wtns.b[0],
+                top.out.x[0], top.out.y[0], top.out.z[0])
+
+    wa, wb, ox, oy, oz = run(pts.x, pts.y, pts.z)
+    return RF(wa, wb), JPoint(ox, oy, oz)

@@ -57,6 +57,41 @@ def test_lhs_witness_small(rng):
                 assert hrf.ev(curve, pt) == 0, f"round {i} fails at {pt}"
 
 
+def test_streamed_matches_batched(rng):
+    """compute_lhs_witness_streamed (the production-scale one-round-at-a-time
+    path used by tools/bench_argument.py) must produce bit-identical round
+    witnesses and carry to the batched compute_lhs_witness."""
+    curve = PALLAS
+    E = ec(curve)
+    n, base = 8, 5
+    scalars = [A.gen_random_coeff(rng, curve.scalar_field) for _ in range(n)]
+    pts_ints = pyref.random_points(rng, curve, n)
+    pts = E.points_from_ints(pts_ints)
+
+    carry_b, wtns_b, _ = A.compute_lhs_witness(curve, scalars, pts, base)
+
+    rounds = {}
+
+    def cb(k, wtns_k, out_k):
+        rounds[k] = (np.asarray(wtns_k.a), np.asarray(wtns_k.b))
+        assert bool(np.asarray(E.is_identity(out_k)))
+
+    carry_s = A.compute_lhs_witness_streamed(curve, scalars, pts, base, cb)
+
+    assert E.points_to_ints(
+        type(carry_s)(carry_s.x[None], carry_s.y[None], carry_s.z[None])
+    ) == E.points_to_ints(
+        type(carry_b)(carry_b.x[None], carry_b.y[None], carry_b.z[None])
+    )
+    d = wtns_b.a.shape[0]
+    assert len(rounds) == d
+    for k in (0, 1, d // 2, d - 1):
+        # streamed rounds are msb-first; batched output is reversed
+        a_b, b_b = np.asarray(wtns_b.a[d - 1 - k]), np.asarray(wtns_b.b[d - 1 - k])
+        assert np.array_equal(rounds[k][0], a_b)
+        assert np.array_equal(rounds[k][1], b_b)
+
+
 def test_digit_budget(rng):
     """Every scalar below sqrt(p)+2 must fit in num_digits_for digits — the
     reference silently truncates at d (argument_witness_calc.rs:99); we

@@ -10,6 +10,8 @@ from halo2_liam_eagen_msm_tpu.fields import GRUMPKIN, PALLAS
 from halo2_liam_eagen_msm_tpu.utils import pyref
 
 
+pytestmark = pytest.mark.fast
+
 def mk_params(rng, curve, num_pts=4, base=5, logtable=15, poly_fan_in=11,
               batch_offset=0):
     pts = tuple(pyref.random_points(rng, curve, num_pts))

@@ -8,6 +8,8 @@ from halo2_liam_eagen_msm_tpu.fields import BN254_FR, PALLAS_FP
 from halo2_liam_eagen_msm_tpu.limbs import ints_to_limbs
 
 
+pytestmark = pytest.mark.fast
+
 def test_roundtrip_base17(rng):
     """Mirror of the reference's negbase_test (decompose random u32 in base 17,
     fold back with acc*(-17)+digit, negbase_utils.rs:126-134)."""

@@ -9,7 +9,10 @@ import pytest
 
 from halo2_liam_eagen_msm_tpu.fields import GRUMPKIN, PALLAS, PALLAS_FP
 
-pytestmark = pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
+pytestmark = [
+    pytest.mark.skipif(shutil.which("g++") is None, reason="no g++"),
+    pytest.mark.fast,
+]
 
 
 @pytest.fixture(scope="module")

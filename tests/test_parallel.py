@@ -12,6 +12,7 @@ from halo2_liam_eagen_msm_tpu.ops.ec import JPoint, ec
 from halo2_liam_eagen_msm_tpu.ops.msm import scalars_to_limbs
 from halo2_liam_eagen_msm_tpu.parallel.mesh import (
     make_mesh,
+    points_sharded_divisor_witness,
     sharded_divisor_witness,
     sharded_msm,
 )
@@ -35,6 +36,28 @@ def test_sharded_msm(rng):
     )
     got = E.points_to_ints(JPoint(res.x[None], res.y[None], res.z[None]))[0]
     assert got == pyref.ec_msm(scalars, pts_ints, curve)
+
+
+def test_points_sharded_witness(rng):
+    """Intra-round sharding: one merge tree with the point axis split over 8
+    devices must be BIT-IDENTICAL to the single-chip tree."""
+    from halo2_liam_eagen_msm_tpu.divisor import compute_divisor_witness_partial
+
+    curve = PALLAS
+    E = ec(curve)
+    mesh = make_mesh(8)
+    n = 32  # 4 per device
+    pts_ints = pyref.random_points(rng, curve, n - 1)
+    res = pyref.ec_msm([1] * (n - 1), pts_ints, curve)
+    pts_ints.append(pyref.ec_neg(res, curve))  # close to the identity
+    pts = E.points_from_ints(pts_ints)
+
+    wtns, out = points_sharded_divisor_witness(curve, mesh, pts)
+    assert bool(np.asarray(E.is_identity(out)).all())
+
+    ref_w, ref_out = compute_divisor_witness_partial(curve, pts)
+    assert np.array_equal(np.asarray(wtns.a), np.asarray(ref_w.a))
+    assert np.array_equal(np.asarray(wtns.b), np.asarray(ref_w.b))
 
 
 def test_round_sharded_witness(rng):

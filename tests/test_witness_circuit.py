@@ -13,6 +13,8 @@ BASE, NUM_DIGITS, LOGTABLE = 5, 56, 4
 NUM_LIMBS = (NUM_DIGITS + LOGTABLE - 1) // LOGTABLE
 
 
+pytestmark = pytest.mark.fast
+
 def test_b_gates_satisfied(rng):
     curve = PALLAS
     p = curve.field.p

@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""End-to-end Eagen argument witness bench on real TPU (BASELINE config 4).
+
+Runs the FULL pipeline at production scale: negbase decomposition -> carry
+recurrence -> all d (~56) digit-round divisor witnesses, streamed one round
+at a time to bound HBM (the (d, S) slot tensor would be ~11 GB at 2^20) —
+the reference's de-facto integration test (lhs_test,
+/root/reference/src/argument_witness_calc.rs:138-148) at up to 100x its
+10,000-scalar scale, plus the on-device best_multiexp oracle check.
+
+Writes one JSON line to stdout and appends to bench_argument.json.
+
+Usage: python tools/bench_argument.py [--logn 18] [--base 5] [--rounds N]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logn", type=int, default=18)
+    ap.add_argument("--base", type=int, default=5)
+    ap.add_argument("--rounds", type=int, default=None,
+                    help="limit round count (default: all d rounds)")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import random
+
+    import jax
+
+    import __graft_entry__ as _ge
+    _c = _ge._host_cache_dir(); os.makedirs(_c, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _c)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import jax.numpy as jnp
+
+    from halo2_liam_eagen_msm_tpu import argument as A
+    from halo2_liam_eagen_msm_tpu.divisor import compute_divisor_witness_partial
+    from halo2_liam_eagen_msm_tpu.fields import PALLAS
+    from halo2_liam_eagen_msm_tpu.limbs import ints_to_limbs, ints_to_mont_limbs
+    from halo2_liam_eagen_msm_tpu.negbase import negbase_decompose_batch
+    from halo2_liam_eagen_msm_tpu.ops.ec import JPoint, ec
+    from halo2_liam_eagen_msm_tpu.ops.msm import best_multiexp, scalars_to_limbs
+    from halo2_liam_eagen_msm_tpu.utils import pyref
+
+    n = 1 << args.logn
+    base = args.base
+    curve = PALLAS
+    E = ec(curve)
+    rng = random.Random(0xA26)
+
+    # points: a few random bases tiled (EC cost is data-independent)
+    distinct = 64
+    bpts = pyref.random_points(rng, curve, distinct)
+    xs = np.asarray(ints_to_mont_limbs([p[0] for p in bpts], curve.field))
+    ys = np.asarray(ints_to_mont_limbs([p[1] for p in bpts], curve.field))
+    reps = n // distinct
+    pts = JPoint(
+        jnp.asarray(np.tile(xs, (reps, 1))),
+        jnp.asarray(np.tile(ys, (reps, 1))),
+        jnp.asarray(np.tile(ints_to_mont_limbs([1], curve.field), (n, 1))),
+    )
+    scalars = [A.gen_random_coeff(rng, curve.scalar_field) for _ in range(n)]
+
+    d = A.num_digits_for(curve, base)
+    nrounds = args.rounds or d
+    digits = negbase_decompose_batch(ints_to_limbs(scalars), base, d)
+    digits_msb = jnp.asarray(digits[:, ::-1].T.astype(np.int32))
+
+    dev = jax.devices()[0]
+    print(f"# device={dev}, n=2^{args.logn}, base={base}, rounds={nrounds}/{d}",
+          flush=True)
+
+    t0 = time.time()
+    carry_prev, carry_new, final = A._carries_only(
+        curve, base, digits_msb, pts)
+    precomp = jax.jit(lambda p: A.precompute_multiplicities(E, p, base))(pts)
+    jax.block_until_ready(precomp.x)
+    jax.block_until_ready(final.x)
+    t_carries = time.time() - t0
+    print(f"# carries+multiplicities: {t_carries:.2f}s (incl compile)",
+          flush=True)
+
+    @jax.jit
+    def round_step(digits_k, cp_x, cp_y, cp_z, cn_x, cn_y, cn_z):
+        rp = A._one_round_slots(
+            curve, base, digits_k, precomp,
+            JPoint(cp_x, cp_y, cp_z), JPoint(cn_x, cn_y, cn_z))
+        wtns, out = compute_divisor_witness_partial(curve, rp)
+        cs = (jnp.sum(wtns.a.astype(jnp.uint32))
+              + jnp.sum(wtns.b.astype(jnp.uint32)))
+        return cs, E.is_identity(out)
+
+    # warm up / compile on round 0
+    t0 = time.time()
+    cs, ok = round_step(digits_msb[0], carry_prev.x[0], carry_prev.y[0],
+                        carry_prev.z[0], carry_new.x[0], carry_new.y[0],
+                        carry_new.z[0])
+    jax.device_get(cs)
+    t_compile = time.time() - t0
+    print(f"# round compile+first run: {t_compile:.1f}s", flush=True)
+
+    t0 = time.time()
+    all_ok = True
+    for k in range(nrounds):
+        cs, ok = round_step(digits_msb[k], carry_prev.x[k], carry_prev.y[k],
+                            carry_prev.z[k], carry_new.x[k], carry_new.y[k],
+                            carry_new.z[k])
+        all_ok &= bool(jax.device_get(ok))
+    t_rounds = time.time() - t0
+    assert all_ok, "some divisor round did not close to the identity"
+    print(f"# {nrounds} rounds: {t_rounds:.2f}s "
+          f"({t_rounds/nrounds:.3f}s/round)", flush=True)
+
+    # oracle: on-device Pippenger MSM over the same scalars/points
+    t0 = time.time()
+    sl = scalars_to_limbs(scalars, curve)
+    msm_pt = best_multiexp(curve, sl, pts, max_scalar_bits=128)
+    eq = jax.device_get(E.is_identity(E.add(final, E.neg(msm_pt))))
+    t_msm = time.time() - t0
+    assert bool(eq), "carry != best_multiexp oracle"
+    print(f"# oracle MSM + compare: {t_msm:.1f}s (carry matches)", flush=True)
+
+    mem = dev.memory_stats() or {}
+    peak = mem.get("peak_bytes_in_use", 0)
+    total = t_carries + t_rounds * (d / nrounds)
+    result = {
+        "metric": f"argument_witness_2^{args.logn}_base{base}",
+        "value": round(n * 1.0 / total, 1),
+        "unit": "points/s/chip (full witness, all rounds)",
+        "rounds": d,
+        "rounds_measured": nrounds,
+        "sec_per_round": round(t_rounds / nrounds, 4),
+        "carries_sec": round(t_carries, 2),
+        "total_sec_est": round(total, 2),
+        "peak_hbm_bytes": int(peak),
+        "oracle": "carry == best_multiexp (on device)",
+    }
+    print(json.dumps(result), flush=True)
+    out = args.out or os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench_argument.json")
+    with open(out, "a") as f:
+        f.write(json.dumps(result) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -18,29 +18,51 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, reps=3):
-    """Times fn on-device: a uint32 checksum of every output leaf is fetched
-    (a few words) instead of the outputs — the axon tunnel's device_get of
-    large arrays would otherwise dominate and measure transfer, not compute."""
+def timeit(fn, *args, reps=3, inner=4):
+    """Amortized on-device stage timing: runs fn `inner` times and once in
+    single jit dispatches and reports (t_inner - t_1)/(inner - 1) plus the
+    once-output — the ~25 ms axon tunnel dispatch floor cancels out.  Each
+    inner repetition's first arg is perturbed by the running checksum's
+    parity so XLA cannot CSE the repetitions."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def with_checksum(*a):
-        out = fn(*a)
+    def cs_of(out):
         leaves = jax.tree_util.tree_leaves(out)
-        cs = sum(jnp.sum(l.astype(jnp.uint32)) for l in leaves if hasattr(l, "shape"))
-        return out, cs
+        return sum(jnp.sum(l.astype(jnp.uint32)) for l in leaves
+                   if hasattr(l, "shape"))
 
-    out, cs = with_checksum(*args)
+    @jax.jit
+    def once(*a):
+        out = fn(*a)
+        return out, cs_of(out)
+
+    @jax.jit
+    def many(*a):
+        acc = jnp.zeros((), jnp.uint32)
+        for _ in range(inner):
+            first = a[0]
+            bump = jax.tree_util.tree_map(
+                lambda l: l + (acc & 1).astype(l.dtype), first)
+            acc = acc + cs_of(fn(bump, *a[1:]))
+        return acc
+
+    out, cs = once(*args)
     jax.device_get(cs)
-    ts = []
-    for _ in range(reps):
-        t0 = time.time()
-        _, cs = with_checksum(*args)
-        jax.device_get(cs)
-        ts.append(time.time() - t0)
-    return min(ts), out
+    jax.device_get(many(*args))
+
+    def best(f):
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            r = f(*args)
+            jax.device_get(r[1] if isinstance(r, tuple) else r)
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    t1 = best(once)
+    tn = best(many)
+    return max((tn - t1) / (inner - 1), 0.0), out
 
 
 def main():
@@ -102,12 +124,16 @@ def main():
     t_sort, (keys, order) = timeit(stage_sort, digits)
     print(f"sort_key_val:            {t_sort * 1e3:8.1f} ms/window")
 
+    from halo2_liam_eagen_msm_tpu.ops.msm import _pack_pair, _unpack_pair
+    pay = jax.jit(_pack_pair)(ax, ay)
+
     @jax.jit
     def stage_gather(order):
-        return ax[order], ay[order], aid[order]
+        return _unpack_pair(pay[order])
 
-    t_gather, (sx, sy, sid) = timeit(stage_gather, order)
-    print(f"point gather:            {t_gather * 1e3:8.1f} ms/window")
+    t_gather, (sx, sy) = timeit(stage_gather, order)
+    print(f"packed gather+unpack:    {t_gather * 1e3:8.1f} ms/window")
+    sid = jax.jit(lambda sy: jnp.sum((sy != 0).astype(jnp.int32), 1) == 0)(sy)
 
     @jax.jit
     def stage_scan(sx, sy, sid):
@@ -145,6 +171,14 @@ def main():
 
     t_tri, wsum = timeit(stage_triangle, bucket)
     print(f"triangle reduction:      {t_tri * 1e3:8.1f} ms/window")
+
+    @jax.jit
+    def stage_fold(pt):
+        return M._double_n(E, pt, c)
+
+    single = M._take(inner, jnp.arange(1))
+    t_fold, _ = timeit(stage_fold, JPoint(single.x[0], single.y[0], single.z[0]))
+    print(f"window fold (c doubles): {t_fold * 1e3:8.1f} ms/window")
 
     per_window = t_sort + t_gather + t_scan + t_hist + t_bq + t_tri
     num_windows = -(-254 // c)

@@ -318,6 +318,17 @@ class EC:
         f = self.f
         return JPoint(f.mul(x, f.sqr(zz)), f.mul(y, f.sqr(zzz)), zzz)
 
+    def offset_point_ints(self, mult: int = 1):
+        """Host (x, y) ints of [mult]T (same cache as offset_point)."""
+        from ..utils import pyref
+
+        key = (self.curve, "offset", mult)
+        pt = _OFFSET_CACHE.get(key)
+        if pt is None:
+            self.offset_point((), mult)  # populates the cache
+            pt = _OFFSET_CACHE[key]
+        return pt
+
     def offset_point(self, shape=(), mult: int = 1) -> JPoint:
         """Fixed nothing-up-my-sleeve blinding point T = [0x0EA6E4...]*G used
         to seed MSM prefix-scan carries so the fast (exception-free) adds are

@@ -209,6 +209,44 @@ def prefix_scan_parts_affine_fast(E: EC, ax, ay):
     return inner, offsets, w, exc
 
 
+def prefix_scan_parts_packed_fast(E: EC, pay_sorted):
+    """Fused-kernel variant of prefix_scan_parts_affine_fast consuming the
+    PACKED sorted rows directly: the whole 64-step blinded scan is ONE
+    pallas launch with the XYZZ carry resident in VMEM
+    (pallas_ff.fused_madd_scan_xyzz) — no per-step dispatch, no carry HBM
+    round-trips, no separate unpack materialization.
+
+    Returns (inner, offsets, w, exc) where inner is the XYZZ 4-tuple in
+    (w, 16, g) layout — element i lives at [i % w, :, i // w] — and
+    offsets/exc follow prefix_scan_parts_affine_fast's contract."""
+    from . import pallas_ff as PF
+    from ..limbs import ints_to_mont_limbs
+
+    curve = E.curve
+    n = pay_sorted.shape[0]
+    w = PF.SCAN_W
+    g = n // w
+    assert n % (w * PF.SCAN_LANES) == 0
+    ps = pay_sorted.reshape(g, w, N_LIMBS).transpose(1, 2, 0)
+    xi, yi = E.offset_point_ints()
+    tx = tuple(int(v) for v in ints_to_mont_limbs([xi], curve.field)[0])
+    ty = tuple(int(v) for v in ints_to_mont_limbs([yi], curve.field)[0])
+    outs = PF.fused_madd_scan_xyzz(curve, (tx, ty), ps)
+    inner = tuple(outs[:4])
+    totx, toty, totzz, totzzz = (t.T for t in outs[4:8])
+    exc = jnp.any(outs[8] != 0)
+    totals_t = E.xyzz_to_jacobian(totx, toty, totzz, totzzz)
+    totals = E.add(totals_t, E.neg(E.offset_point((g,))))
+    tot_prefix = prefix_scan_points(E, totals)
+    ident = E.identity((1,))
+    offsets = JPoint(
+        jnp.concatenate([ident.x, tot_prefix.x[:-1]]),
+        jnp.concatenate([ident.y, tot_prefix.y[:-1]]),
+        jnp.concatenate([ident.z, tot_prefix.z[:-1]]),
+    )
+    return inner, offsets, w, exc
+
+
 def prefix_scan_points_fast(E: EC, p: JPoint, reverse: bool = False):
     """Blinded fast variant of prefix_scan_points: blocked scan over
     exception-flagging generic adds (EC.add_fast, ~15 modmuls vs ~33), block
@@ -476,19 +514,20 @@ def _best_multiexp_jit(
         sfx = prefix_scan_points(E, bucket, reverse=True)
         return E.sum(sfx, axis=0)
 
-    def window_from_scan_fast(hi, inner, offsets, w):
+    def window_from_scan_fast(hi, inner_at, offsets, w):
         """Fast-add twin of window_from_scan_safe for the blinded scan
         decomposition (every prefix carries exactly one T; the empty prefix
-        IS T, so bucket differences are true values).  `inner` arrives in
-        XYZZ form; only the O(2^c) queried values are converted to Jacobian.
-        The triangle suffix scan and the final sum are re-blinded fast
-        scans; their accumulated (2^c - 1) copies of T are cancelled with
-        one precomputed [2^c-1]T.  Returns (point, exc)."""
+        IS T, so bucket differences are true values).  `inner_at(idx)` gives
+        the XYZZ 4-tuple of inner prefixes at positions idx; only the
+        O(2^c) queried values are converted to Jacobian.  The triangle
+        suffix scan and the final sum are re-blinded fast scans; their
+        accumulated (2^c - 1) copies of T are cancelled with one precomputed
+        [2^c-1]T.  Returns (point, exc)."""
         base = E.offset_point(())
 
         def pref_at(idx):
             safe = jnp.maximum(idx, 0)
-            iq = E.xyzz_to_jacobian(*(c[safe] for c in inner))
+            iq = E.xyzz_to_jacobian(*inner_at(safe))
             pt, e = E.add_fast(_take(offsets, safe // w), iq)
             basep = JPoint(*(jnp.broadcast_to(cc, idx.shape + (N_LIMBS,))
                              for cc in base))
@@ -506,11 +545,15 @@ def _best_multiexp_jit(
         return s, e1 | jnp.any(e2) | e3 | e4
 
     def one_window(keys_in):
+        from . import pallas_ff as PF
+        from .. import config as _cfg
+
         _, order = jax.lax.sort_key_val(keys_in, jnp.arange(n, dtype=jnp.int32))
         hi = bucket_bounds_hist(keys_in, c)
-        sx, sy = _unpack_pair(pay[order])
+        rows = pay[order]
 
         def safe_path(_):
+            sx, sy = _unpack_pair(rows)
             # affine identity (0, 0) <=> all-zero y row (prime-order curves)
             sid = (jnp.sum((sy != 0).astype(jnp.int32), axis=1) == 0)
             inner_s, offsets_s, ws = prefix_scan_parts_affine(E, sx, sy, sid)
@@ -522,8 +565,18 @@ def _best_multiexp_jit(
         # limb-arithmetic graph, which matters for the multi-chip CPU dry run
         if n < 64:
             return safe_path(None)
-        inner, offsets, w, exc = prefix_scan_parts_affine_fast(E, sx, sy)
-        fast, exc2 = window_from_scan_fast(hi, inner, offsets, w)
+        if _cfg.use_pallas() and n % (PF.SCAN_W * PF.SCAN_LANES) == 0:
+            inner, offsets, w, exc = prefix_scan_parts_packed_fast(E, rows)
+
+            def inner_at(safe):
+                return tuple(cc[safe % w, :, safe // w] for cc in inner)
+        else:
+            sx, sy = _unpack_pair(rows)
+            inner, offsets, w, exc = prefix_scan_parts_affine_fast(E, sx, sy)
+
+            def inner_at(safe):
+                return tuple(cc[safe] for cc in inner)
+        fast, exc2 = window_from_scan_fast(hi, inner_at, offsets, w)
 
         # exceptions are impossible unless inputs align with the blinding
         # point (or, for tiny inputs, empty-bucket suffix collisions); the

@@ -731,6 +731,103 @@ def ec_madd_xyzz_fast(curve: CurveSpec, x1, y1, zz1, zzz1, qx, qy):
     return outs + (exc_flat,)
 
 
+SCAN_W = 64      # sequential madd steps per lane in the fused scan
+SCAN_SUB = 16    # steps per grid substep (VMEM working-set bound)
+SCAN_LANES = 1024  # lanes per grid block
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def fused_madd_scan_xyzz(curve: CurveSpec, t_limbs, pay_wcg):
+    """The MSM's ENTIRE blinded prefix scan as ONE pallas kernel.
+
+    pay_wcg: (SCAN_W, 16, g) uint32 — packed payload rows (x limbs 0..7 two
+    per word, y limbs 8..15) transposed so that step t of every lane is the
+    leading index; element i of the original order maps to
+    (t = i % W, lane = i // W).  t_limbs: ((x limbs...), (y limbs...)) host
+    Montgomery limb tuples of the blinding point T (static).
+
+    Each grid block owns 1024 lanes; its XYZZ carry lives in VMEM scratch
+    across W/SUB substeps, so the 64-step scan costs ONE kernel launch and
+    zero carry HBM round-trips (the lax.scan formulation paid a pallas
+    dispatch + 3x16384x64B carry round-trip per step — launch/traffic bound
+    at ~145 us/step, ~40% above pure compute).  Unpacking the two 16-bit
+    limbs per word happens in-register.
+
+    Returns (inner 4x(W,16,g) XYZZ uint32, totals 4x(16,g), exc (nb,8,128)):
+    inner[i] = T + inclusive_prefix within lane, totals = final lane carries
+    (still blinded), exc per-lane exception flags (k_ec_madd_xyzz_fast's
+    contract: identity carry / carry == +-Q; affine identity passes)."""
+    C = field_consts(curve.field)
+    w, _, g = pay_wcg.shape
+    assert w == SCAN_W and g % SCAN_LANES == 0
+    nb = g // SCAN_LANES
+    nsub = SCAN_W // SCAN_SUB
+    tx, ty = t_limbs
+
+    def kern(pay_ref, ix_ref, iy_ref, izz_ref, izzz_ref,
+             tx_ref, ty_ref, tzz_ref, tzzz_ref, exc_ref, carry, excs):
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _():
+            for j in range(N_LIMBS):
+                carry[0, j] = jnp.full((8, 128), np.uint32(tx[j]), jnp.uint32)
+                carry[1, j] = jnp.full((8, 128), np.uint32(ty[j]), jnp.uint32)
+                carry[2, j] = jnp.full((8, 128), np.uint32(C.one[j]), jnp.uint32)
+                carry[3, j] = jnp.full((8, 128), np.uint32(C.one[j]), jnp.uint32)
+            excs[0] = jnp.zeros((8, 128), jnp.uint32)
+
+        for t in range(SCAN_SUB):
+            pk = pay_ref[t].reshape(16, 8, 128)  # packed cols
+            qx = [((pk[j // 2] >> np.uint32(16 * (j % 2))) & MASK)
+                  for j in range(N_LIMBS)]
+            qy = [((pk[8 + j // 2] >> np.uint32(16 * (j % 2))) & MASK)
+                  for j in range(N_LIMBS)]
+            x = [carry[0, j] for j in range(N_LIMBS)]
+            y = [carry[1, j] for j in range(N_LIMBS)]
+            zz = [carry[2, j] for j in range(N_LIMBS)]
+            zzz = [carry[3, j] for j in range(N_LIMBS)]
+            nx, ny, nzz, nzzz, e = k_ec_madd_xyzz_fast(C, x, y, zz, zzz, qx, qy)
+            ix_ref[t] = _stackrows(nx).reshape(16, SCAN_LANES)
+            iy_ref[t] = _stackrows(ny).reshape(16, SCAN_LANES)
+            izz_ref[t] = _stackrows(nzz).reshape(16, SCAN_LANES)
+            izzz_ref[t] = _stackrows(nzzz).reshape(16, SCAN_LANES)
+            for j in range(N_LIMBS):
+                carry[0, j] = nx[j]
+                carry[1, j] = ny[j]
+                carry[2, j] = nzz[j]
+                carry[3, j] = nzzz[j]
+            excs[0] = excs[0] | e
+
+        tx_ref[:, :] = carry[0].reshape(16, SCAN_LANES)
+        ty_ref[:, :] = carry[1].reshape(16, SCAN_LANES)
+        tzz_ref[:, :] = carry[2].reshape(16, SCAN_LANES)
+        tzzz_ref[:, :] = carry[3].reshape(16, SCAN_LANES)
+        exc_ref[0] = excs[0]
+
+    inner_shape = jax.ShapeDtypeStruct((w, 16, g), jnp.uint32)
+    tot_shape = jax.ShapeDtypeStruct((16, g), jnp.uint32)
+    inner_spec = pl.BlockSpec((SCAN_SUB, 16, SCAN_LANES),
+                              lambda b, s: (s, 0, b), memory_space=pltpu.VMEM)
+    tot_spec = pl.BlockSpec((16, SCAN_LANES), lambda b, s: (0, b),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(nb, nsub),
+        out_shape=(inner_shape,) * 4 + (tot_shape,) * 4
+        + (jax.ShapeDtypeStruct((nb, 8, 128), jnp.uint32),),
+        in_specs=[inner_spec],
+        out_specs=(inner_spec,) * 4 + (tot_spec,) * 4
+        + (pl.BlockSpec((1, 8, 128), lambda b, s: (b, 0, 0),
+                        memory_space=pltpu.VMEM),),
+        scratch_shapes=[
+            pltpu.VMEM((4, N_LIMBS, 8, 128), jnp.uint32),
+            pltpu.VMEM((1, 8, 128), jnp.uint32),
+        ],
+        interpret=_interpret(),
+    )(pay_wcg)
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def ec_double(curve: CurveSpec, x1, y1, z1):
     C = field_consts(curve.field)

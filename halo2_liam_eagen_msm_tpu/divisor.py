@@ -240,7 +240,26 @@ def _pad_poly(arr, n):
     return jnp.pad(arr, [(0, 0)] * (arr.ndim - 2) + [(0, n - cur), (0, 0)])
 
 
-def merge_pairs(curve: CurveSpec, a: Level, b: Level) -> Level:
+@lru_cache(maxsize=None)
+def _fused_consts_dev(curve: CurveSpec, logn: int):
+    """Device-resident constants for the fused merge at NTT size 2^logn:
+    (W, S, fwd twiddles, inv twiddles), each uploaded once and passed as jit
+    OPERANDS — inlining them as HLO constants made production-size compile
+    payloads tens of MB per level (rejected by the axon tunnel, HTTP 413)."""
+    from .ops.ntt import twiddle_flat
+
+    W, S = _eval_domain_consts(curve, logn)
+    return (jnp.asarray(W), jnp.asarray(S),
+            twiddle_flat(curve.field, logn, False),
+            twiddle_flat(curve.field, logn, True))
+
+
+def fused_logn(la: int, lb: int) -> int:
+    """NTT size exponent the fused merge uses for input lengths (la, lb)."""
+    return (la + lb + 2 - 1).bit_length()
+
+
+def merge_pairs(curve: CurveSpec, a: Level, b: Level, consts=None) -> Level:
     """Batched Propagation::merge (reference :333-360): for each slot,
       output = a.out + b.out
       witness = a.wtns * b.wtns * line(-a.out, -b.out) / (x-ax)(x-bx)
@@ -280,7 +299,7 @@ def merge_pairs(curve: CurveSpec, a: Level, b: Level) -> Level:
     if a.wtns.a.shape[-2] >= FUSE_MIN_LA:
         return _merge_tail_fused(
             curve, a, b, out, bypass, deg,
-            (lx, ly, lz), (nay, nby), (root_a, root_b),
+            (lx, ly, lz), (nay, nby), (root_a, root_b), consts,
         )
 
     s = rf_mul(curve, b.wtns, _line_rf(lx, ly, lz))
@@ -294,7 +313,8 @@ def merge_pairs(curve: CurveSpec, a: Level, b: Level) -> Level:
     return Level(out, RF(wa, wb))
 
 
-def _merge_tail_fused(curve, a, b, out, bypass, deg, line, neg_ys, roots):
+def _merge_tail_fused(curve, a, b, out, bypass, deg, line, neg_ys, roots,
+                      consts=None):
     """Fused evaluation-domain tail of `merge_pairs` for long polynomials.
 
     Computes the whole numerator wtns_a * wtns_b * line with a single NTT
@@ -321,19 +341,21 @@ def _merge_tail_fused(curve, a, b, out, bypass, deg, line, neg_ys, roots):
     la, lb = a.wtns.a.shape[-2], a.wtns.b.shape[-2]
     out_len_a = la + lb + 2  # deg(num.a) <= la+lb+1 (b1*b2*subst term)
     out_len_b = la + lb + 1
-    n = 1 << (out_len_a - 1).bit_length()
-    logn = n.bit_length() - 1
-    Wc, Sc = _eval_domain_consts(curve, logn)
-    W = jnp.asarray(Wc)
-    S = jnp.asarray(Sc)
+    logn = fused_logn(la, lb)
+    n = 1 << logn
+    if consts is None:
+        Wc, Sc = _eval_domain_consts(curve, logn)
+        W, S, tw_f, tw_i = (jnp.asarray(Wc), jnp.asarray(Sc), None, None)
+    else:
+        W, S, tw_f, tw_i = consts
 
     # gather-free transforms: everything below is pointwise in the
     # evaluation domain, so the shared bit-reversed order of ntt_dif is as
     # good as natural order and skips four N-row bit-reversal gathers
-    fa1 = ntt_dif(spec, _pad_poly(a.wtns.a, n))
-    fb1 = ntt_dif(spec, _pad_poly(a.wtns.b, n))
-    fa2 = ntt_dif(spec, _pad_poly(b.wtns.a, n))
-    fb2 = ntt_dif(spec, _pad_poly(b.wtns.b, n))
+    fa1 = ntt_dif(spec, _pad_poly(a.wtns.a, n), tws=tw_f)
+    fb1 = ntt_dif(spec, _pad_poly(a.wtns.b, n), tws=tw_f)
+    fa2 = ntt_dif(spec, _pad_poly(b.wtns.a, n), tws=tw_f)
+    fb2 = ntt_dif(spec, _pad_poly(b.wtns.b, n), tws=tw_f)
 
     # (a1 + y b1)(a2 + y b2) = P + y Q with y^2 -> S
     pv = k.add(k.mul(fa1, fa2), k.mul(k.mul(fb1, fb2), S))
@@ -353,13 +375,13 @@ def _merge_tail_fused(curve, a, b, out, bypass, deg, line, neg_ys, roots):
 
     def div_eval(num_a_v, num_b_v, den):
         dinv = k.batch_inv(den, axis=-2)
-        wa = intt_dit(spec, k.mul(num_a_v, dinv))
-        wb = intt_dit(spec, k.mul(num_b_v, dinv))
+        wa = intt_dit(spec, k.mul(num_a_v, dinv), tws=tw_i)
+        wb = intt_dit(spec, k.mul(num_b_v, dinv), tws=tw_i)
         return wa[..., :out_len_a, :], wb[..., :out_len_b, :]
 
     def div_coeff(num_a_v, num_b_v, den):
-        num_a = intt_dit(spec, num_a_v)[..., :out_len_a, :]
-        num_b = intt_dit(spec, num_b_v)[..., :out_len_b, :]
+        num_a = intt_dit(spec, num_a_v, tws=tw_i)[..., :out_len_a, :]
+        num_b = intt_dit(spec, num_b_v, tws=tw_i)[..., :out_len_b, :]
         qa = P.kate_div(spec, P.kate_div(spec, num_a, root_a), root_b)
         qb = P.kate_div(spec, P.kate_div(spec, num_b, root_a), root_b)
         wa = k.select(bypass[..., None], num_a, qa)
@@ -370,17 +392,18 @@ def _merge_tail_fused(curve, a, b, out, bypass, deg, line, neg_ys, roots):
     return Level(out, RF(wa, wb))
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
-def _merge_level_jit(curve: CurveSpec, a_sem: int, b_sem: int, lv: Level) -> Level:
+def merge_level(curve: CurveSpec, a_sem: int, b_sem: int, lv: Level,
+                consts=None) -> Level:
     """One level: merge consecutive pairs; odd tail passes through (padded).
     a_sem/b_sem: the level's semantic (mathematically maximal) output lengths
     — everything beyond is provably zero and trimmed to stop pad growth.
-    Static per (M, La, Lb) shape; reused across digit rounds/runs."""
+    consts: optional _fused_consts_dev tuple for the fused path (pass as jit
+    operands at production sizes; None inlines them as constants)."""
     m = lv.out.x.shape[-2]
     m2 = m // 2
     a = _take_level(lv, slice(0, 2 * m2, 2))
     b = _take_level(lv, slice(1, 2 * m2, 2))
-    merged = merge_pairs(curve, a, b)
+    merged = merge_pairs(curve, a, b, consts)
     merged = Level(
         merged.out,
         RF(merged.wtns.a[..., :a_sem, :], merged.wtns.b[..., :b_sem, :]),
@@ -405,6 +428,9 @@ def _merge_level_jit(curve: CurveSpec, a_sem: int, b_sem: int, lv: Level) -> Lev
             ),
         )
     return merged
+
+
+_merge_level_jit = partial(jax.jit, static_argnums=(0, 1, 2))(merge_level)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -434,7 +460,10 @@ def compute_divisor_witness_partial(curve: CurveSpec, pts: JPoint):
     b_sem = 1  # seeds: a-len 2, b-len 1
     while lv.out.x.shape[-2] > 1:
         b_sem = 2 * b_sem
-        lv = _merge_level_jit(curve, b_sem + 1, b_sem, lv)
+        la, lb = lv.wtns.a.shape[-2], lv.wtns.b.shape[-2]
+        consts = (_fused_consts_dev(curve, fused_logn(la, lb))
+                  if la >= FUSE_MIN_LA else None)
+        lv = _merge_level_jit(curve, b_sem + 1, b_sem, lv, consts)
     out = JPoint(
         lv.out.x[..., 0, :], lv.out.y[..., 0, :], lv.out.z[..., 0, :]
     )

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import argument as A
-from ..divisor import RF, Level, _merge_level_jit, _seeds_jit, seeds, merge_pairs
+from ..divisor import RF, Level, merge_level, seeds
 from ..fields import CurveSpec, PALLAS, N_LIMBS
 from ..limbs import ints_to_limbs
 from ..negbase import negbase_decompose_batch
@@ -82,34 +82,12 @@ def _forward_jit(cfg: EagenConfig, digits, pts: JPoint):
         )
     lv = seeds(curve, round_pts)
     b_sem = 1
+    # same level engine as compute_divisor_witness_partial (divisor.py) —
+    # no consts operands here: _forward_jit is the compile-check/model path
+    # at small num_pts (the streamed argument path handles production sizes)
     while lv.out.x.shape[-2] > 1:
         b_sem *= 2
-        m = lv.out.x.shape[-2]
-        m2 = m // 2
-        from ..divisor import _take_level, _pad_poly
-        a = _take_level(lv, slice(0, 2 * m2, 2))
-        b = _take_level(lv, slice(1, 2 * m2, 2))
-        merged = merge_pairs(curve, a, b)
-        merged = Level(
-            merged.out,
-            RF(merged.wtns.a[..., : b_sem + 1, :], merged.wtns.b[..., :b_sem, :]),
-        )
-        if m % 2:
-            tail = _take_level(lv, slice(2 * m2, m))
-            la = merged.wtns.a.shape[-2]
-            lb = merged.wtns.b.shape[-2]
-            merged = Level(
-                JPoint(
-                    jnp.concatenate([merged.out.x, tail.out.x], axis=-2),
-                    jnp.concatenate([merged.out.y, tail.out.y], axis=-2),
-                    jnp.concatenate([merged.out.z, tail.out.z], axis=-2),
-                ),
-                RF(
-                    jnp.concatenate([merged.wtns.a, _pad_poly(tail.wtns.a, la)], axis=-3),
-                    jnp.concatenate([merged.wtns.b, _pad_poly(tail.wtns.b, lb)], axis=-3),
-                ),
-            )
-        lv = merged
+        lv = merge_level(curve, b_sem + 1, b_sem, lv)
     wtns = RF(lv.wtns.a[..., 0, :, :], lv.wtns.b[..., 0, :, :])
     # reference round order: LSB digit first (:132)
     wtns = RF(wtns.a[::-1], wtns.b[::-1])

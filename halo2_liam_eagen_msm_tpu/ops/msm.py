@@ -472,13 +472,35 @@ def best_multiexp(
     # cap concurrent windows so the per-window prefix-scan buffers (~3x the
     # point array each) stay within HBM at large N
     wb = max(1, min(-(-bits // c), (1 << 24) // max(n, 1) or 1, 8))
-    return _best_multiexp_jit(curve, c, bits, wb, scalars, pts)
+    if isinstance(scalars, jax.core.Tracer) or isinstance(pts.x, jax.core.Tracer):
+        # traced caller (shard_map / jit): the exception fallback must stay
+        # in-graph as a lax.cond
+        return _best_multiexp_jit(curve, c, bits, wb, "cond", scalars, pts)
+    # un-traced entry: run the fast-only executable (half the compiled graph)
+    # and host-check the exception flag; the safe executable is only ever
+    # traced+compiled if an exception actually fires (adversarial inputs
+    # aligned with the blinding point — never for honest ones)
+    res, exc = _best_multiexp_jit(curve, c, bits, wb, "fast", scalars, pts)
+    if bool(jax.device_get(exc)):
+        return _best_multiexp_jit(curve, c, bits, wb, "safe", scalars, pts)
+    return res
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _best_multiexp_jit(
-    curve: CurveSpec, c: int, total_bits: int, window_batch: int, scalars, pts: JPoint
-) -> JPoint:
+    curve: CurveSpec, c: int, total_bits: int, window_batch: int, flavor: str,
+    scalars, pts: JPoint,
+):
+    """flavor:
+      "cond" — fast path with an in-graph lax.cond safe fallback per window
+               (exact for every input; both branches compiled; used when the
+               caller is itself traced, e.g. under shard_map)
+      "fast" — fast path only; returns (point, exc_any).  The caller host-
+               checks exc_any and reruns "safe" — halves the compiled graph
+               and the cold-compile bill, and the safe executable only ever
+               compiles if an exception actually fires (adversarial inputs)
+      "safe" — complete-add path only; returns the exact point
+    """
     E = ec(curve)
     n = scalars.shape[0]
     num_windows = -(-total_bits // c)
@@ -563,8 +585,9 @@ def _best_multiexp_jit(
         # (compile checks, unit tests) the safe path alone wins AND avoids
         # compiling both lax.cond branches — that halves an already large
         # limb-arithmetic graph, which matters for the multi-chip CPU dry run
-        if n < 64:
-            return safe_path(None)
+        if flavor == "safe" or n < 64:
+            return safe_path(None) if flavor == "cond" or flavor == "safe" \
+                else (safe_path(None), jnp.zeros((), bool))
         if _cfg.use_pallas() and n % (PF.SCAN_W * PF.SCAN_LANES) == 0:
             inner, offsets, w, exc = prefix_scan_parts_packed_fast(E, rows)
 
@@ -578,6 +601,8 @@ def _best_multiexp_jit(
                 return tuple(cc[safe] for cc in inner)
         fast, exc2 = window_from_scan_fast(hi, inner_at, offsets, w)
 
+        if flavor == "fast":
+            return fast, exc | exc2
         # exceptions are impossible unless inputs align with the blinding
         # point (or, for tiny inputs, empty-bucket suffix collisions); the
         # safe recompute keeps the result exact in every case
@@ -594,12 +619,22 @@ def _best_multiexp_jit(
     else:
         window_sums = jax.lax.map(one_window, digits, batch_size=window_batch)
 
+    exc_any = None
+    if flavor == "fast":
+        window_sums, excs = window_sums
+        exc_any = jnp.any(excs)
+
     def fold(i, acc):
         acc = _double_n(E, acc, c)
         g = _take(window_sums, num_windows - 1 - i)
         return E.add(acc, g)
 
-    return jax.lax.fori_loop(0, num_windows, fold, E.identity(()))
+    res = jax.lax.fori_loop(0, num_windows, fold, E.identity(()))
+    if flavor == "fast":
+        if exc_any is None:
+            exc_any = jnp.zeros((), bool)
+        return res, exc_any
+    return res
 
 
 def _double_n(E: EC, p: JPoint, k: int) -> JPoint:

@@ -90,21 +90,26 @@ def main():
     print(f"# carries+multiplicities: {t_carries:.2f}s (incl compile)",
           flush=True)
 
-    @jax.jit
-    def round_step(digits_k, cp_x, cp_y, cp_z, cn_x, cn_y, cn_z):
-        rp = A._one_round_slots(
-            curve, base, digits_k, precomp,
-            JPoint(cp_x, cp_y, cp_z), JPoint(cn_x, cn_y, cn_z))
+    def round_step(digits_k, pre, cp, cn):
+        # NOT wrapped in one outer jit: a whole round in a single module is
+        # hundreds of MB of HLO at 2^18 (the axon tunnel rejects it with
+        # HTTP 413); compute_divisor_witness_partial's per-level jits
+        # compile as individually cached modest modules instead
+        rp = A._one_round_slots(curve, base, digits_k, pre, cp, cn)
         wtns, out = compute_divisor_witness_partial(curve, rp)
         cs = (jnp.sum(wtns.a.astype(jnp.uint32))
               + jnp.sum(wtns.b.astype(jnp.uint32)))
         return cs, E.is_identity(out)
 
+    def run_round(k):
+        return round_step(
+            digits_msb[k], precomp,
+            JPoint(carry_prev.x[k], carry_prev.y[k], carry_prev.z[k]),
+            JPoint(carry_new.x[k], carry_new.y[k], carry_new.z[k]))
+
     # warm up / compile on round 0
     t0 = time.time()
-    cs, ok = round_step(digits_msb[0], carry_prev.x[0], carry_prev.y[0],
-                        carry_prev.z[0], carry_new.x[0], carry_new.y[0],
-                        carry_new.z[0])
+    cs, ok = run_round(0)
     jax.device_get(cs)
     t_compile = time.time() - t0
     print(f"# round compile+first run: {t_compile:.1f}s", flush=True)
@@ -112,9 +117,7 @@ def main():
     t0 = time.time()
     all_ok = True
     for k in range(nrounds):
-        cs, ok = round_step(digits_msb[k], carry_prev.x[k], carry_prev.y[k],
-                            carry_prev.z[k], carry_new.x[k], carry_new.y[k],
-                            carry_new.z[k])
+        cs, ok = run_round(k)
         all_ok &= bool(jax.device_get(ok))
     t_rounds = time.time() - t0
     assert all_ok, "some divisor round did not close to the identity"

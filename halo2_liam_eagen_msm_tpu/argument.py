@@ -143,37 +143,32 @@ def _rounds_and_carries(curve: CurveSpec, base: int, digits, pts: JPoint):
 
 
 @partial(jax.jit, static_argnums=(0, 1))
-def _carries_only(curve: CurveSpec, base: int, digits, pts: JPoint):
-    """Carry recurrence WITHOUT materializing the (d, S) slot tensor — the
-    production-scale path (at N = 2^20 the full tensor is ~11 GB; BASELINE
-    config 4).  Per-round digit sums via lax.map keep peak memory at one
-    round's gather.  Returns (carry_prev (d,), carry_new (d,), final)."""
+def _carry_scan(curve: CurveSpec, base: int, sx, sy, sz):
+    """Fold the (d,) round sums through carry' = -carry*base + S_i
+    (reference argument_witness_calc.rs:112-127).  Cheap: d ~ 56 points."""
     E = ec(curve)
-    precomp = precompute_multiplicities(E, pts, base)  # (base-1, N)
-    n = pts.x.shape[0]
-    cols = jnp.arange(n)
-
-    def round_sum(digits_k):
-        idx = jnp.clip(digits_k - 1, 0, base - 2)
-        sel = JPoint(
-            precomp.x[idx, cols], precomp.y[idx, cols],
-            jnp.where((digits_k == 0)[:, None], 0, precomp.z[idx, cols]),
-        )
-        s = E.sum(sel, axis=0)
-        return s.x, s.y, s.z
-
-    sx, sy, sz = jax.lax.map(round_sum, digits)
-    s_round = JPoint(sx, sy, sz)
-
     def step(carry, s_i):
         c1 = E.scalar_mul_small(E.neg(carry), base)
         new = E.add(c1, JPoint(*s_i))
         return new, (carry, new)
 
     final, (carry_prev, carry_new) = jax.lax.scan(
-        step, E.identity(()), tuple(s_round)
+        step, E.identity(()), (sx, sy, sz)
     )
     return carry_prev, carry_new, final
+
+
+def _carries_only(curve: CurveSpec, base: int, digits, pts: JPoint):
+    """Carry recurrence WITHOUT materializing the (d, S) slot tensor — the
+    production-scale path (at N = 2^20 the full tensor is ~11 GB; BASELINE
+    config 4).  Each per-round digit sum is ONE Pippenger window
+    (ops/msm.round_sums: sort + blinded fused prefix scan + bucket diffs)
+    instead of an N-point complete-add tree — ~300x less device time at
+    2^18 than the gather+log-halving reduction it replaces.
+    Returns (carry_prev (d,), carry_new (d,), final)."""
+    from .ops.msm import round_sums
+    s_round = round_sums(curve, base, digits, pts)
+    return _carry_scan(curve, base, s_round.x, s_round.y, s_round.z)
 
 
 @partial(jax.jit, static_argnums=(0, 1))

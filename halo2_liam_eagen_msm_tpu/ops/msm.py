@@ -486,35 +486,14 @@ def best_multiexp(
     return res
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
-def _best_multiexp_jit(
-    curve: CurveSpec, c: int, total_bits: int, window_batch: int, flavor: str,
-    scalars, pts: JPoint,
-):
-    """flavor:
-      "cond" — fast path with an in-graph lax.cond safe fallback per window
-               (exact for every input; both branches compiled; used when the
-               caller is itself traced, e.g. under shard_map)
-      "fast" — fast path only; returns (point, exc_any).  The caller host-
-               checks exc_any and reruns "safe" — halves the compiled graph
-               and the cold-compile bill, and the safe executable only ever
-               compiles if an exception actually fires (adversarial inputs)
-      "safe" — complete-add path only; returns the exact point
-    """
-    E = ec(curve)
-    n = scalars.shape[0]
-    num_windows = -(-total_bits // c)
-    digits = window_digits(scalars, c, num_windows)  # (W, N) int32
+def _make_one_window(E: EC, c: int, flavor: str, pay, n: int):
+    """Build the per-window bucket-sum closure shared by best_multiexp and
+    the argument's per-round digit sums (each Eagen round IS one Pippenger
+    window: S_k = sum_j d_kj * P_j with d_kj < base <= 2^c).
 
-    # normalize the input points ONCE (shared batch inversion): every window's
-    # dominant scan then runs on mixed (Jacobian + affine) additions.
-    # The per-window sorted-order gather moves ONE (N, 16) uint32 row per
-    # point with both coordinates' 16-bit limbs packed two per word: TPU row
-    # gathers cost per-INDEX up to 64-byte rows (measured v5e: one packed
-    # 64 B gather 7.7 ms at 2^20 vs 14.6 ms for the two-array form and
-    # 42 ms for 128 B rows), so packing halves the dominant window stage.
-    ax, ay, aident = E.to_affine(pts)
-    pay = _pack_pair(ax, ay)  # (N, 16) uint32
+    pay: (N, 16) packed affine rows (_pack_pair); returns one_window(keys_in)
+    mapping (N,) int32 keys in [0, 2^c) to sum_b b * B_b — a point for
+    "cond"/"safe" flavors, (point, exc) for "fast"."""
 
     def window_from_scan_safe(hi, inner, offsets, w):
         """Bucket sums + triangle reduction from a prefix-scan decomposition,
@@ -608,6 +587,40 @@ def _best_multiexp_jit(
         # safe recompute keeps the result exact in every case
         return jax.lax.cond(exc | exc2, safe_path, lambda _: fast, None)
 
+    return one_window
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _best_multiexp_jit(
+    curve: CurveSpec, c: int, total_bits: int, window_batch: int, flavor: str,
+    scalars, pts: JPoint,
+):
+    """flavor:
+      "cond" — fast path with an in-graph lax.cond safe fallback per window
+               (exact for every input; both branches compiled; used when the
+               caller is itself traced, e.g. under shard_map)
+      "fast" — fast path only; returns (point, exc_any).  The caller host-
+               checks exc_any and reruns "safe" — halves the compiled graph
+               and the cold-compile bill, and the safe executable only ever
+               compiles if an exception actually fires (adversarial inputs)
+      "safe" — complete-add path only; returns the exact point
+    """
+    E = ec(curve)
+    n = scalars.shape[0]
+    num_windows = -(-total_bits // c)
+    digits = window_digits(scalars, c, num_windows)  # (W, N) int32
+
+    # normalize the input points ONCE (shared batch inversion): every window's
+    # dominant scan then runs on mixed (Jacobian + affine) additions.
+    # The per-window sorted-order gather moves ONE (N, 16) uint32 row per
+    # point with both coordinates' 16-bit limbs packed two per word: TPU row
+    # gathers cost per-INDEX up to 64-byte rows (measured v5e: one packed
+    # 64 B gather 7.7 ms at 2^20 vs 14.6 ms for the two-array form and
+    # 42 ms for 128 B rows), so packing halves the dominant window stage.
+    ax, ay, aident = E.to_affine(pts)
+    pay = _pack_pair(ax, ay)  # (N, 16) uint32
+    one_window = _make_one_window(E, c, flavor, pay, n)
+
     from .. import config as _cfg
 
     if _cfg.use_pallas():
@@ -635,6 +648,41 @@ def _best_multiexp_jit(
             exc_any = jnp.zeros((), bool)
         return res, exc_any
     return res
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _round_sums_jit(curve: CurveSpec, base: int, flavor: str, digits, pts: JPoint):
+    """Per-round digit-weighted sums for the Eagen argument's carry
+    recurrence (reference argument_witness_calc.rs:96-127): each round k is
+    ONE Pippenger window over base-ary digits, S_k = sum_j digits[k,j] * P_j.
+
+    digits: (d, N) int32 in [0, base); pts: (N,).  Returns a (d,) JPoint
+    batch ("cond"/"safe") or ((d,) JPoint, exc_any) for "fast".  Reuses the
+    MSM's sort + blinded-prefix-scan window machinery — ~window-of-an-MSM
+    cost per round instead of an N-point complete-add tree reduction."""
+    E = ec(curve)
+    n = pts.x.shape[0]
+    c = max(1, (base - 1).bit_length())
+    ax, ay, _ = E.to_affine(pts)
+    pay = _pack_pair(ax, ay)
+    one_window = _make_one_window(E, c, flavor, pay, n)
+    out = jax.lax.map(one_window, digits)
+    if flavor == "fast":
+        sums, excs = out
+        return sums, jnp.any(excs)
+    return out
+
+
+def round_sums(curve: CurveSpec, base: int, digits, pts: JPoint):
+    """Host entry: fast flavor with host-checked exception fallback (same
+    contract as best_multiexp — exact for every input).  Traced callers get
+    the in-graph lax.cond flavor."""
+    if isinstance(digits, jax.core.Tracer) or isinstance(pts.x, jax.core.Tracer):
+        return _round_sums_jit(curve, base, "cond", digits, pts)
+    sums, exc = _round_sums_jit(curve, base, "fast", digits, pts)
+    if bool(jax.device_get(exc)):
+        return _round_sums_jit(curve, base, "safe", digits, pts)
+    return sums
 
 
 def _double_n(E: EC, p: JPoint, k: int) -> JPoint:

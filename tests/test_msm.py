@@ -52,3 +52,28 @@ def test_pick_window():
     assert pick_window(2) == 1
     assert pick_window(1 << 16) == 11
     assert pick_window(1 << 20) == 15
+
+
+def test_round_sums_matches_oracle(rng):
+    """Per-round digit sums (the argument's carry input) via the window
+    machinery == the exact oracle, incl. all-zero and all-max rounds
+    (reference argument_witness_calc.rs:96-111's digit sums)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from halo2_liam_eagen_msm_tpu.ops.ec import ec
+    from halo2_liam_eagen_msm_tpu.ops.msm import round_sums
+
+    curve = PALLAS
+    E = ec(curve)
+    n, base, d = 8, 5, 6
+    pts_ints = pyref.random_points(rng, curve, n)
+    pts = E.points_from_ints(pts_ints)
+    digits = np.array([[rng.randrange(base) for _ in range(n)]
+                       for _ in range(d)], dtype=np.int32)
+    digits[0, :] = 0          # identity round
+    digits[1, :] = base - 1   # max digits
+    got = E.points_to_ints(round_sums(curve, base, jnp.asarray(digits), pts))
+    for k in range(d):
+        want = pyref.ec_msm([int(v) for v in digits[k]], pts_ints, curve)
+        assert got[k] == want, f"round {k}"

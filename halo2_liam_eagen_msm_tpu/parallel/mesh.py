@@ -108,6 +108,126 @@ def sharded_divisor_witness(curve: CurveSpec, mesh: Mesh, round_pts: JPoint):
     return compute_divisor_witness_partial(curve, placed)
 
 
+def make_mesh_2d(n_dcn: int, n_ici: int | None = None,
+                 axes=("dcn", "ici")) -> Mesh:
+    """Hierarchical (dcn, ici) mesh: the outer axis crosses hosts over the
+    data-center network, the inner axis is a pod slice's ICI ring.  Device
+    order follows jax.devices(), whose convention keeps same-host chips
+    adjacent — consecutive groups of n_ici land on one slice."""
+    devs = jax.devices()
+    if n_ici is None:
+        n_ici = len(devs) // n_dcn
+    devs = devs[: n_dcn * n_ici]
+    return Mesh(np.array(devs).reshape(n_dcn, n_ici), axes)
+
+
+def sharded_msm_2d(
+    curve: CurveSpec,
+    scalars,
+    pts: JPoint,
+    mesh: Mesh,
+    c: int | None = None,
+    max_scalar_bits: int | None = None,
+) -> JPoint:
+    """MSM over a (dcn, ici) mesh with a hierarchical reduction: points and
+    scalars are sharded over BOTH axes (each chip runs its local Pippenger),
+    partial results are reduced within each slice over ICI first, and only
+    ONE point (3x16 words) per slice then crosses the DCN axis — the
+    multi-host layout BASELINE config 5 requires (DCN bandwidth is ~100x
+    below ICI; the algorithm's only inter-host traffic is the final
+    per-slice partial)."""
+    E = ec(curve)
+    n = scalars.shape[0]
+    d = mesh.devices.size
+    assert n % d == 0, "pad inputs to a multiple of the mesh size"
+    dcn, ici = mesh.axis_names
+    if c is None:
+        c = pick_window(n // d)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P((dcn, ici)), P((dcn, ici)), P((dcn, ici)), P((dcn, ici))),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def local(sc, px, py, pz):
+        r = best_multiexp(curve, sc, JPoint(px, py, pz), c, max_scalar_bits)
+        # stage 1: slice-local reduce over ICI
+        s = E.sum(JPoint(
+            jax.lax.all_gather(r.x, ici),
+            jax.lax.all_gather(r.y, ici),
+            jax.lax.all_gather(r.z, ici),
+        ), axis=0)
+        # stage 2: one partial per slice over DCN
+        t = E.sum(JPoint(
+            jax.lax.all_gather(s.x, dcn),
+            jax.lax.all_gather(s.y, dcn),
+            jax.lax.all_gather(s.z, dcn),
+        ), axis=0)
+        return t.x, t.y, t.z
+
+    x, y, z = local(scalars, pts.x, pts.y, pts.z)
+    return JPoint(x, y, z)
+
+
+def hierarchical_divisor_witness(curve: CurveSpec, mesh: Mesh,
+                                 round_pts: JPoint):
+    """The argument's (d, S) round tensor over a (dcn, ici) mesh: digit
+    ROUNDS sharded over DCN (rounds are independent — zero inter-round
+    traffic crosses hosts), each round's POINT axis sharded over its slice's
+    ICI (the intra-round dimension a 2^24-point round needs).  Composition
+    of shard_rounds x points_sharded_divisor_witness; all_gathers ride ICI
+    only.  Per-slice local trees run down to one propagation per (round,
+    chip), the n_ici propagations per round are gathered over ICI, and the
+    top log2(n_ici) levels run replicated within the slice — bit-identical
+    to the single-chip (d, S) tree.
+
+    round_pts: (d, S) with d % n_dcn == 0 (pad with identity rounds via
+    shard_rounds-style zeros upstream) and S % (2 * n_ici) == 0.
+    Returns (RF witness (d, La, 16), out JPoint (d, 16)): rounds sharded
+    over dcn, replicated over ici."""
+    from ..divisor import Level, _merge_level_jit, _seeds_jit
+
+    dcn, ici = mesh.axis_names
+    n_dcn, n_ici = mesh.devices.shape
+    d, s = round_pts.x.shape[0], round_pts.x.shape[1]
+    assert d % n_dcn == 0, "pad the round axis to a multiple of n_dcn"
+    assert s % (2 * n_ici) == 0, "pad the point list to a multiple of 2*n_ici"
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(dcn, ici), P(dcn, ici), P(dcn, ici)),
+        out_specs=(P(dcn), P(dcn), P(dcn), P(dcn), P(dcn)),
+        check_vma=False,
+    )
+    def run(px, py, pz):
+        # (d_local, S_local): the round axis rides the level engine as a
+        # leading batch dim, exactly like the round-sharded path
+        lv = _seeds_jit(curve, JPoint(px, py, pz))
+        b_sem = 1
+        while lv.out.x.shape[-2] > 1:
+            b_sem *= 2
+            lv = _merge_level_jit(curve, b_sem + 1, b_sem, lv)
+        # population 1 per chip: gather this round's n_ici propagations
+        ga = jax.lax.all_gather(lv.wtns.a[:, 0], ici, axis=1)
+        gb = jax.lax.all_gather(lv.wtns.b[:, 0], ici, axis=1)
+        gox = jax.lax.all_gather(lv.out.x[:, 0], ici, axis=1)
+        goy = jax.lax.all_gather(lv.out.y[:, 0], ici, axis=1)
+        goz = jax.lax.all_gather(lv.out.z[:, 0], ici, axis=1)
+        top = Level(JPoint(gox, goy, goz), RF(ga, gb))
+        bs = b_sem
+        while top.out.x.shape[-2] > 1:
+            bs *= 2
+            top = _merge_level_jit(curve, bs + 1, bs, top)
+        return (top.wtns.a[:, 0], top.wtns.b[:, 0],
+                top.out.x[:, 0], top.out.y[:, 0], top.out.z[:, 0])
+
+    wa, wb, ox, oy, oz = run(round_pts.x, round_pts.y, round_pts.z)
+    return RF(wa, wb), JPoint(ox, oy, oz)
+
+
 def points_sharded_divisor_witness(curve: CurveSpec, mesh: Mesh, pts: JPoint):
     """ONE round's merge tree with the POINT axis sharded over the mesh —
     the intra-round dimension a single 2^24-point round (BASELINE config 5)

@@ -77,3 +77,49 @@ def test_round_sharded_witness(rng):
     # carry still equals the MSM oracle under sharding
     got = E.points_to_ints(JPoint(carry.x[None], carry.y[None], carry.z[None]))[0]
     assert got == pyref.ec_msm(scalars, pts_ints, curve)
+
+
+def test_sharded_msm_2d(rng):
+    """Hierarchical (dcn, ici) mesh: ICI-local reduce, one point per slice
+    over DCN — result equals the exact oracle."""
+    from halo2_liam_eagen_msm_tpu.parallel.mesh import make_mesh_2d, sharded_msm_2d
+
+    curve = PALLAS
+    E = ec(curve)
+    mesh = make_mesh_2d(2, 4)
+    n = 16
+    pts_ints = pyref.random_points(rng, curve, n)
+    scalars = [rng.randrange(1 << 32) for _ in range(n)]
+    pts = E.points_from_ints(pts_ints)
+    res = sharded_msm_2d(
+        curve, scalars_to_limbs(scalars, curve), pts, mesh, c=4, max_scalar_bits=32
+    )
+    got = E.points_to_ints(JPoint(res.x[None], res.y[None], res.z[None]))[0]
+    assert got == pyref.ec_msm(scalars, pts_ints, curve)
+
+
+def test_hierarchical_witness(rng):
+    """Rounds over DCN x points over ICI must be bit-identical to the
+    single-chip (d, S) batched tree."""
+    from halo2_liam_eagen_msm_tpu.divisor import compute_divisor_witness_partial
+    from halo2_liam_eagen_msm_tpu.parallel.mesh import (
+        hierarchical_divisor_witness,
+        make_mesh_2d,
+    )
+
+    curve = PALLAS
+    E = ec(curve)
+    mesh = make_mesh_2d(2, 4)
+    base, n = 3, 4  # slots = base + n + 1 = 8 = 2 * n_ici per round
+    pts_ints = pyref.random_points(rng, curve, n)
+    pts = E.points_from_ints(pts_ints)
+    scalars = [rng.randrange(1 << 16) for _ in range(n)]
+    digits = A.negbase_decompose_batch(
+        A.ints_to_limbs(scalars), base, A.num_digits_for(curve, base)
+    )[:, ::-1].T.astype("int32")[:2]  # two rounds: one per DCN slice
+    round_pts, _ = A._rounds_and_carries(curve, base, jnp.asarray(digits), pts)
+    wtns, outs = hierarchical_divisor_witness(curve, mesh, round_pts)
+    assert bool(np.asarray(E.is_identity(outs)).all())
+    ref_w, _ = compute_divisor_witness_partial(curve, round_pts)
+    assert np.array_equal(np.asarray(wtns.a), np.asarray(ref_w.a))
+    assert np.array_equal(np.asarray(wtns.b), np.asarray(ref_w.b))

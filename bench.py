@@ -22,6 +22,24 @@ import numpy as np
 
 BASELINE_TARGET = 1.0e6  # points/s; see module docstring
 
+# ---- MFU accounting (docs/MFU.md) -----------------------------------------
+# Algorithmic modmul count of the window method (independent of the reorder
+# implementation, so it stays comparable across rounds):
+#   per window: ~10 modmuls/point for the blinded XYZZ madd scan, ~1.1 for
+#   the offsets recursion (2.1 * n/64 complete adds at ~33), 64 * 2^c for
+#   bucket queries + triangle; plus one 4n affine normalization.
+# One 254-bit Montgomery modmul in the 16x16-bit limb scheme = 256 schoolbook
+# + ~256 reduction u32 lane-multiplies ~ 512.
+# v5e VPU u32-multiply ceiling ~ 1e12/s (8x128 lanes x 1 mult-capable ALU
+# x ~0.94 GHz effective; see docs/MFU.md).
+U32MULTS_PER_MODMUL = 512
+VPU_U32MUL_CEILING = 1.0e12
+
+
+def msm_modmul_count(n: int, c: int, num_windows: int) -> float:
+    per_window = 11.1 * n + 64.0 * (1 << c)
+    return num_windows * per_window + 4.0 * n
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -86,6 +104,12 @@ def main():
     best = min(times)
     pps = n / best
 
+    from halo2_liam_eagen_msm_tpu.ops.msm import pick_window
+
+    c = args.window or pick_window(n)
+    bits = curve.scalar_field.p.bit_length()
+    modmuls = msm_modmul_count(n, c, -(-bits // c))
+    mm_per_s = modmuls / best
     print(
         json.dumps(
             {
@@ -93,6 +117,10 @@ def main():
                 "value": round(pps, 1),
                 "unit": "points/s/chip",
                 "vs_baseline": round(pps / BASELINE_TARGET, 4),
+                "modmul_per_sec": round(mm_per_s, 0),
+                "mfu_vs_vpu_ceiling": round(
+                    mm_per_s * U32MULTS_PER_MODMUL / VPU_U32MUL_CEILING, 4
+                ),
             }
         )
     )

@@ -25,6 +25,16 @@ def set_use_pallas(v: bool | None) -> None:
 # reference's dormant `sanity-check` cargo feature; see utils/checks.py
 SANITY_CHECKS = False
 
+# Route large-window MSM reorders through the MXU radix shuffle
+# (ops/radix.py) instead of sort+gather.  Off switch exists for A/B
+# correctness checks and perf triage; the exact sort+gather fallback is
+# always compiled into the "cond"/"safe" flavors regardless.
+RADIX_MSM = True
+
+
+def use_radix_msm() -> bool:
+    return RADIX_MSM
+
 
 def use_pallas() -> bool:
     if _USE_PALLAS is not None:

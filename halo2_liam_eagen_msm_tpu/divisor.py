@@ -259,12 +259,18 @@ def fused_logn(la: int, lb: int) -> int:
     return (la + lb + 2 - 1).bit_length()
 
 
-def merge_pairs(curve: CurveSpec, a: Level, b: Level, consts=None) -> Level:
+def merge_pairs(curve: CurveSpec, a: Level, b: Level, consts=None,
+                tail=None) -> Level:
     """Batched Propagation::merge (reference :333-360): for each slot,
       output = a.out + b.out
       witness = a.wtns * b.wtns * line(-a.out, -b.out) / (x-ax)(x-bx)
     with the division skipped (and the line set to 1) when either output is
-    the identity (:340-342)."""
+    the identity (:340-342).
+
+    tail: optional override for the numerator/division computation (same
+    signature as _merge_tail_fused) — used by the distributed all_to_all
+    merge (parallel/dist_ntt.make_sharded_tail) to shard the NTTs over a
+    mesh axis while this head (points, lines, roots) stays replicated."""
     E = ec(curve)
     k = ff(curve.field)
     spec = curve.field
@@ -295,6 +301,10 @@ def merge_pairs(curve: CurveSpec, a: Level, b: Level, consts=None) -> Level:
     # x is negation-invariant so nax/nbx serve
     root_a = k.select(bypass, jnp.broadcast_to(jnp.asarray(k.one), nax.shape), nax)
     root_b = k.select(bypass, jnp.broadcast_to(jnp.asarray(k.one), nbx.shape), nbx)
+
+    if tail is not None:
+        return tail(curve, a, b, out, bypass, deg,
+                    (lx, ly, lz), (nay, nby), (root_a, root_b), consts)
 
     if a.wtns.a.shape[-2] >= FUSE_MIN_LA:
         return _merge_tail_fused(
@@ -393,17 +403,18 @@ def _merge_tail_fused(curve, a, b, out, bypass, deg, line, neg_ys, roots,
 
 
 def merge_level(curve: CurveSpec, a_sem: int, b_sem: int, lv: Level,
-                consts=None) -> Level:
+                consts=None, tail=None) -> Level:
     """One level: merge consecutive pairs; odd tail passes through (padded).
     a_sem/b_sem: the level's semantic (mathematically maximal) output lengths
     — everything beyond is provably zero and trimmed to stop pad growth.
     consts: optional _fused_consts_dev tuple for the fused path (pass as jit
-    operands at production sizes; None inlines them as constants)."""
+    operands at production sizes; None inlines them as constants).
+    tail: optional merge-tail override (see merge_pairs)."""
     m = lv.out.x.shape[-2]
     m2 = m // 2
     a = _take_level(lv, slice(0, 2 * m2, 2))
     b = _take_level(lv, slice(1, 2 * m2, 2))
-    merged = merge_pairs(curve, a, b, consts)
+    merged = merge_pairs(curve, a, b, consts, tail=tail)
     merged = Level(
         merged.out,
         RF(merged.wtns.a[..., :a_sem, :], merged.wtns.b[..., :b_sem, :]),
@@ -527,7 +538,10 @@ def compute_divisor_witness_naive_host(curve: CurveSpec, pts_ints) -> Arrangemen
             inc1 = pos.pop()
             if inc1 is not None:
                 tmp.append((inc1, pos.pop()))
-        for (x, y) in tmp:
+        # the reference drains tmp with pop() — REVERSED pair order — both
+        # for the emitted lines and the sums pushed onto the other stack
+        # (regular_functions_utils.rs:520-526)
+        for (x, y) in reversed(tmp):
             q = pyref.ec_add(x, y, curve)
             ret_pos.append(line_ints(x, y))
             neg.append(pyref.ec_neg(q, curve))
@@ -536,7 +550,7 @@ def compute_divisor_witness_naive_host(curve: CurveSpec, pts_ints) -> Arrangemen
             inc1 = neg.pop()
             if inc1 is not None:
                 tmp.append((inc1, neg.pop()))
-        for (x, y) in tmp:
+        for (x, y) in reversed(tmp):
             q = pyref.ec_add(x, y, curve)
             ret_neg.append(line_ints(x, y))
             pos.append(pyref.ec_neg(q, curve))
@@ -548,3 +562,209 @@ def compute_divisor_witness_naive_host(curve: CurveSpec, pts_ints) -> Arrangemen
     elif len(pos) == 1 and len(neg) == 1:
         assert pos[0] == neg[0]
     return Arrangement(ret_pos, ret_neg)
+
+
+# ---------------------------------------------------------------------------
+# device-side naive line-arrangement (production-size second oracle)
+# ---------------------------------------------------------------------------
+
+def _batch_affine_xy(E: EC, pts: JPoint):
+    """(x_aff, y_aff, is_identity) for a (N,) batch (one shared inversion)."""
+    (x, y, ident), = _multi_affine(E, [pts])
+    return x, y, ident
+
+
+def _line_pairs(curve: CurveSpec, E: EC, pa: JPoint, pb: JPoint, valid):
+    """Canonical lines through pairs (pa[j], pb[j]) with the host replica's
+    exact semantics: cross product on affine coords, degenerate recompute
+    through c = -(a+b).  Invalid slots emit zeros."""
+    k = ff(curve.field)
+    ax, ay, aid = _batch_affine_xy(E, pa)
+    bx, by, bid = _batch_affine_xy(E, pb)
+    lx, ly, lz = linefunc_affine(curve, ax, ay, aid, bx, by, bid)
+    deg = k.is_zero(lx) & k.is_zero(ly) & k.is_zero(lz)
+    cpt = E.neg(E.add(pa, pb))
+    cx, cy, cid = _batch_affine_xy(E, cpt)
+    lx2, ly2, lz2 = linefunc_affine(curve, ax, ay, aid, cx, cy, cid)
+    lx = k.select(deg, lx2, lx)
+    ly = k.select(deg, ly2, ly)
+    lz = k.select(deg, lz2, lz)
+    vmask = valid[..., None]
+    return (jnp.where(vmask, lx, 0), jnp.where(vmask, ly, 0),
+            jnp.where(vmask, lz, 0))
+
+
+def _pop_roles(is_id, cnt, cap):
+    """Vectorize the reference's sequential pop automaton over one stack
+    (regular_functions_utils.rs:512-517): walking TOP-DOWN, an identity in
+    the inc1 slot is discarded, anything else pairs with the next element
+    below (identity partners ARE consumed), and the walk stops with one
+    element left (the bottom element is never an inc1).
+
+    The walk is a 2-state machine (expecting inc1 / expecting partner)
+    whose per-element transition depends only on that element:
+      identity:     expect->expect, partner->expect   (constant-0 map)
+      non-identity: expect->partner, partner->expect  (negation map)
+    so the state at every position is an associative prefix composition of
+    {const0, NOT} maps — log-depth, no sequential scan.
+
+    is_id: (cap,) bool in BOTTOM-up stack order; cnt: live count.
+    Returns (inc1, partner, kept) bool masks in stack order."""
+    idx = jnp.arange(cap)
+    live = idx < cnt
+    # reversed (top-down) element stream
+    rev = jnp.clip(cnt - 1 - idx, 0, cap - 1)
+    id_r = jnp.where(live, is_id[rev], True)
+    # transition maps as (image-of-0, image-of-1); identity elems = (0, 0),
+    # others = (1, 0); padding beyond cnt = identity map (0, 1)
+    f0 = jnp.where(live, jnp.where(id_r, 0, 1), 0)
+    f1 = jnp.where(live, 0, 1)
+
+    def compose(f, g):
+        # (g o f): first f, then g — associative_scan composes left prefixes
+        ff0, ff1 = f
+        gg0, gg1 = g
+        return (jnp.where(ff0 == 0, gg0, gg1), jnp.where(ff1 == 0, gg0, gg1))
+
+    p0, _ = jax.lax.associative_scan(compose, (f0, f1))
+    # state BEFORE element i (exclusive prefix applied to initial state 0)
+    state = jnp.concatenate([jnp.zeros((1,), p0.dtype), p0[:-1]])
+    partner_r = live & (state == 1)
+    inc1_r = live & (state == 0) & ~id_r
+    # the bottom element (rev position cnt-1) is never an inc1: the loop
+    # exits at stack length 1 before examining it
+    last = idx == (cnt - 1)
+    inc1_r = inc1_r & ~last
+    kept_r = live & last & (state == 0)
+    # back to stack order (stack index s <-> top-down position cnt-1-s);
+    # padding rows clip onto position 0 and must be masked off
+    fwd = jnp.clip(cnt - 1 - idx, 0, cap - 1)
+    live_s = idx < cnt
+    return (inc1_r[fwd] & live_s, partner_r[fwd] & live_s,
+            kept_r[fwd] & live_s)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _naive_round(curve: CurveSpec, px, py, pz, cnt):
+    """One pairing round over ONE side's stack (bottom at index 0): exact
+    reference pop semantics via _pop_roles, pair adds, canonical lines.
+
+    Returns (kept stack (cap,), keep_cnt, -q sums in EMISSION order (the
+    reference drains its tmp vec reversed), npair, lx, ly, lz)."""
+    E = ec(curve)
+    cap = px.shape[0]
+    stack = JPoint(px, py, pz)
+    is_id = E.is_identity(stack)
+    inc1, partner, kept = _pop_roles(is_id, cnt, cap)
+
+    # pair k (in pop order) = k-th inc1 from the TOP; its partner is the
+    # next element below it.  Emission order is REVERSED pop order.
+    idx = jnp.arange(cap)
+    npair = jnp.sum(inc1.astype(jnp.int32))
+    # top-down view: position i <-> stack index cnt-1-i (padding excluded)
+    rev = jnp.clip(cnt - 1 - idx, 0, cap - 1)
+    inc1_top = jnp.where(idx < cnt, inc1[rev], False)
+    rank_top = jnp.cumsum(inc1_top.astype(jnp.int32)) - 1  # rank among inc1s
+    emit = jnp.where(inc1_top, npair - 1 - rank_top, cap)  # reversed drain
+    # order emission slots: slot k holds the inc1 whose emit == k
+    order = jnp.argsort(emit.astype(jnp.int32))
+    ia_stack = rev[order]  # first npair entries = inc1 stack indices
+    pa = _take_pts(stack, jnp.clip(ia_stack, 0, cap - 1))
+    pb = _take_pts(stack, jnp.clip(ia_stack - 1, 0, cap - 1))  # partner = below
+    vpair = jnp.arange(cap) < npair
+    q = E.add(pa, pb)
+    neg_q = E.neg(q)
+    # blank invalid slots to the identity so appended padding is inert
+    neg_q = JPoint(
+        jnp.where(vpair[:, None], neg_q.x, 0),
+        jnp.where(vpair[:, None], neg_q.y, 0),
+        jnp.where(vpair[:, None], neg_q.z, 0),
+    )
+    lx, ly, lz = _line_pairs(curve, E, pa, pb, vpair)
+
+    # kept stack: the (at most one) kept element compacted to the bottom
+    keep_cnt = jnp.sum(kept.astype(jnp.int32))
+    korder = jnp.argsort(jnp.where(kept, 0, 1), stable=True)
+    ks = _take_pts(stack, korder)
+    kmask = (idx < keep_cnt)[:, None]
+    return (jnp.where(kmask, ks.x, 0), jnp.where(kmask, ks.y, 0),
+            jnp.where(kmask, ks.z, 0), keep_cnt,
+            neg_q.x, neg_q.y, neg_q.z, npair, lx, ly, lz)
+
+
+def compute_divisor_witness_naive_device(curve: CurveSpec, pts: JPoint,
+                                         max_rounds: int | None = None):
+    """Device-side compute_divisor_witness_naive (reference
+    /root/reference/src/regular_functions_utils.rs:502-551): rounds of
+    pairwise addition over pos/neg stacks, emitting one canonical line per
+    pair — the production-size second oracle the host replica
+    (compute_divisor_witness_naive_host) cannot reach (rayon-parallel in
+    the reference, :519-535; batched kernels here).
+
+    Pop order, identity-drop semantics, and the reference's reversed tmp
+    drain are replicated exactly, so emitted lines are bit-identical to the
+    host replica's Arrangement at any size (tests/test_divisor).
+
+    pts: (N,) JPoint.  Returns (pos_lines, neg_lines): per processing round
+    (lx, ly, lz, count) device tensors; flatten with
+    naive_device_lines_to_ints."""
+    n = pts.x.shape[0]
+    cap = 2 * n + 4  # stacks only shrink in total population
+    if max_rounds is None:
+        max_rounds = 2 * max(1, n.bit_length()) + 4
+
+    def mk(stack_pts):
+        x = jnp.zeros((cap, N_LIMBS), jnp.uint32)
+        y = jnp.zeros((cap, N_LIMBS), jnp.uint32)
+        z = jnp.zeros((cap, N_LIMBS), jnp.uint32)
+        if stack_pts is not None:
+            x = x.at[:n].set(stack_pts.x)
+            y = y.at[:n].set(stack_pts.y)
+            z = z.at[:n].set(stack_pts.z)
+        return [x, y, z,
+                jnp.asarray(n if stack_pts is not None else 0, jnp.int32)]
+
+    pos = mk(pts)
+    neg = mk(None)
+    pos_lines, neg_lines = [], []
+
+    def append(side, qx, qy, qz, npair):
+        cnt = side[3]
+        j = jnp.arange(cap) - cnt
+        take = (j >= 0) & (j < npair)
+        src = jnp.clip(j, 0, cap - 1)
+        side[0] = jnp.where(take[:, None], qx[src], side[0])
+        side[1] = jnp.where(take[:, None], qy[src], side[1])
+        side[2] = jnp.where(take[:, None], qz[src], side[2])
+        side[3] = cnt + npair
+
+    for _ in range(max_rounds):
+        kx, ky, kz, kc, qx, qy, qz, npair, lx, ly, lz = _naive_round(
+            curve, pos[0], pos[1], pos[2], pos[3])
+        pos = [kx, ky, kz, kc]
+        append(neg, qx, qy, qz, npair)
+        pos_lines.append((lx, ly, lz, npair))
+
+        kx, ky, kz, kc, qx, qy, qz, npair, lx, ly, lz = _naive_round(
+            curve, neg[0], neg[1], neg[2], neg[3])
+        neg = [kx, ky, kz, kc]
+        append(pos, qx, qy, qz, npair)
+        neg_lines.append((lx, ly, lz, npair))
+    return pos_lines, neg_lines
+
+
+def naive_device_lines_to_ints(curve: CurveSpec, lines):
+    """Flatten per-round device line tensors to host int triples in the host
+    replica's emission order (drops empty slots)."""
+    from .limbs import mont_limbs_to_ints
+
+    out = []
+    for lx, ly, lz, cnt in lines:
+        c = int(jax.device_get(cnt))
+        if c == 0:
+            continue
+        xs = mont_limbs_to_ints(np.asarray(lx[:c]), curve.field)
+        ys = mont_limbs_to_ints(np.asarray(ly[:c]), curve.field)
+        zs = mont_limbs_to_ints(np.asarray(lz[:c]), curve.field)
+        out.extend(zip(xs, ys, zs))
+    return out

@@ -515,15 +515,12 @@ def _make_one_window(E: EC, c: int, flavor: str, pay, n: int):
         sfx = prefix_scan_points(E, bucket, reverse=True)
         return E.sum(sfx, axis=0)
 
-    def window_from_scan_fast(hi, inner_at, offsets, w):
-        """Fast-add twin of window_from_scan_safe for the blinded scan
-        decomposition (every prefix carries exactly one T; the empty prefix
-        IS T, so bucket differences are true values).  `inner_at(idx)` gives
-        the XYZZ 4-tuple of inner prefixes at positions idx; only the
-        O(2^c) queried values are converted to Jacobian.  The triangle
-        suffix scan and the final sum are re-blinded fast scans; their
-        accumulated (2^c - 1) copies of T are cancelled with one precomputed
-        [2^c-1]T.  Returns (point, exc)."""
+    def bucket_diffs_fast(hi, inner_at, offsets, w):
+        """Bucket sums (b = 1 .. 2^c-1) from a BLINDED scan decomposition
+        (every prefix carries exactly one T; the empty prefix IS T, so
+        bucket differences are TRUE values).  `inner_at(idx)` gives the XYZZ
+        4-tuple of inner prefixes at positions idx; only the O(2^c) queried
+        values are converted to Jacobian.  Returns (bucket, exc)."""
         base = E.offset_point(())
 
         def pref_at(idx):
@@ -538,22 +535,88 @@ def _make_one_window(E: EC, c: int, flavor: str, pay, n: int):
         bucket, e2 = E.add_fast(
             _take(pref, slice(1, None)), E.neg(_take(pref, slice(0, -1)))
         )
+        return bucket, e1 | jnp.any(e2)
+
+    def triangle_fast(bucket):
+        """sum_b b * B_b via the suffix-scan triangle, re-blinded fast scans;
+        the accumulated (2^c - 1) copies of T are cancelled with one
+        precomputed [2^c-1]T.  Returns (point, exc)."""
         nb = bucket.x.shape[0]  # static: 2^c - 1
+        if nb <= 64:
+            # small windows (the argument's base-ary digit rounds): the
+            # complete-add triangle is as cheap as the blinded one at this
+            # size and immune to the T+T collisions an ALL-EMPTY bucket
+            # table produces systematically (the spare most-significant
+            # digit round of the negbase decomposition is all zeros, so
+            # every suffix equals T and the blinded halving sum doubles)
+            sfx = prefix_scan_points(E, bucket, reverse=True)
+            return E.sum(sfx, axis=0), jnp.zeros((), bool)
         sfx, e3 = prefix_scan_points_fast(E, bucket, reverse=True)
-        s, e4 = sum_points_fast(E, sfx)
+        # the final halving sum uses COMPLETE adds: runs of empty top
+        # buckets (any window whose digits don't fill c bits — e.g. the
+        # most-significant window of a full-width MSM) make long runs of
+        # sfx equal exactly T, and a blinded halving sum would pair equal
+        # values into systematic doubling exceptions.  ~33 x 2^c modmuls,
+        # ~3% of window time — robustness is worth it.
+        s = E.sum(sfx, axis=0)
         if nb > 1:
             s = E.add(s, E.neg(E.offset_point((), mult=nb)))  # safe un-blind
-        return s, e1 | jnp.any(e2) | e3 | e4
+        return s, e3
+
+    def window_from_scan_fast(hi, inner_at, offsets, w):
+        bucket, e1 = bucket_diffs_fast(hi, inner_at, offsets, w)
+        s, e2 = triangle_fast(bucket)
+        return s, e1 | e2
+
+    def scan_packed_padded(rows, n_rows):
+        """Blinded fused-kernel scan over packed rows, zero-padded to the
+        pallas scan unit (zero rows are affine identities and pass through);
+        returns (inner_at, offsets, w, exc)."""
+        from . import pallas_ff as PF
+
+        unit = PF.SCAN_W * PF.SCAN_LANES
+        pad = -n_rows % unit
+        if pad:
+            rows = jnp.concatenate(
+                [rows, jnp.zeros((pad, rows.shape[1]), rows.dtype)]
+            )
+        inner, offsets, w, exc = prefix_scan_parts_packed_fast(E, rows)
+
+        def inner_at(safe):
+            return tuple(cc[safe % w, :, safe // w] for cc in inner)
+
+        return inner_at, offsets, w, exc
+
+    def radix_plan():
+        """Static decision: route this window's reorder through the MXU
+        radix shuffle (ops/radix.py) instead of sort+gather.  The shuffle
+        needs tiles of 4096 rows and enough key bits for its coarse split;
+        below 2^17 rows the gather it replaces is no longer the dominant
+        cost and the fixed pass overheads lose."""
+        from .. import config as _cfg
+        from . import radix as RX
+
+        if not _cfg.use_pallas() or not _cfg.use_radix_msm() \
+                or flavor == "safe":
+            return None
+        if n < (1 << 17) or n % 4096 != 0 or c < 8:
+            return None
+        return RX.make_plan(n, c)
+
+    plan = radix_plan()
 
     def one_window(keys_in):
         from . import pallas_ff as PF
+        from . import radix as RX
         from .. import config as _cfg
 
-        _, order = jax.lax.sort_key_val(keys_in, jnp.arange(n, dtype=jnp.int32))
-        hi = bucket_bounds_hist(keys_in, c)
-        rows = pay[order]
+        def classic_rows_hi():
+            _, order = jax.lax.sort_key_val(
+                keys_in, jnp.arange(n, dtype=jnp.int32))
+            return pay[order], bucket_bounds_hist(keys_in, c)
 
         def safe_path(_):
+            rows, hi = classic_rows_hi()
             sx, sy = _unpack_pair(rows)
             # affine identity (0, 0) <=> all-zero y row (prime-order curves)
             sid = (jnp.sum((sy != 0).astype(jnp.int32), axis=1) == 0)
@@ -567,25 +630,53 @@ def _make_one_window(E: EC, c: int, flavor: str, pay, n: int):
         if flavor == "safe" or n < 64:
             return safe_path(None) if flavor == "cond" or flavor == "safe" \
                 else (safe_path(None), jnp.zeros((), bool))
-        if _cfg.use_pallas() and n % (PF.SCAN_W * PF.SCAN_LANES) == 0:
-            inner, offsets, w, exc = prefix_scan_parts_packed_fast(E, rows)
 
-            def inner_at(safe):
-                return tuple(cc[safe % w, :, safe // w] for cc in inner)
+        if plan is not None:
+            # MXU radix shuffle: bucket-contiguous stream without per-row
+            # gathers (docs/DESIGN-mxu-gather.md).  Spilled rows (~1.5%) are
+            # reordered by the classic tiny sort+gather and their bucket
+            # sums merged in before the triangle; any tile overflowing its
+            # spill capacity flags `exc` -> exact fallback.
+            sorted_pay, hi_r, spill_pay, spill_keys, overflow = \
+                RX.radix_window(plan, keys_in, pay)
+            inner_at, offsets, w, exc = scan_packed_padded(
+                sorted_pay, plan.n_ext)
+            bucket_m, e_m = bucket_diffs_fast(hi_r, inner_at, offsets, w)
+
+            ns = spill_keys.shape[0]
+            _, sorder = jax.lax.sort_key_val(
+                spill_keys, jnp.arange(ns, dtype=jnp.int32))
+            srows = spill_pay[sorder]
+            shi = bucket_bounds_hist(spill_keys, c)
+            sin_at, soff, sw, s_exc = scan_packed_padded(srows, ns)
+            bucket_s, e_s = bucket_diffs_fast(shi, sin_at, soff, sw)
+
+            # elementwise merge: both tables hold TRUE values (empty buckets
+            # are exact identities and pass through add_fast unflagged)
+            bucket, e_c = E.add_fast(bucket_m, bucket_s)
+            fast, e_t = triangle_fast(bucket)
+            exc2 = (overflow | exc | e_m | s_exc | e_s
+                    | jnp.any(e_c) | e_t)
         else:
-            sx, sy = _unpack_pair(rows)
-            inner, offsets, w, exc = prefix_scan_parts_affine_fast(E, sx, sy)
+            rows, hi = classic_rows_hi()
+            if _cfg.use_pallas() and n % (PF.SCAN_W * PF.SCAN_LANES) == 0:
+                inner_at, offsets, w, exc = scan_packed_padded(rows, n)
+            else:
+                sx, sy = _unpack_pair(rows)
+                inner, offsets, w, exc = prefix_scan_parts_affine_fast(
+                    E, sx, sy)
 
-            def inner_at(safe):
-                return tuple(cc[safe] for cc in inner)
-        fast, exc2 = window_from_scan_fast(hi, inner_at, offsets, w)
+                def inner_at(safe):
+                    return tuple(cc[safe] for cc in inner)
+            fast, e_w = window_from_scan_fast(hi, inner_at, offsets, w)
+            exc2 = exc | e_w
 
         if flavor == "fast":
-            return fast, exc | exc2
+            return fast, exc2
         # exceptions are impossible unless inputs align with the blinding
         # point (or, for tiny inputs, empty-bucket suffix collisions); the
         # safe recompute keeps the result exact in every case
-        return jax.lax.cond(exc | exc2, safe_path, lambda _: fast, None)
+        return jax.lax.cond(exc2, safe_path, lambda _: fast, None)
 
     return one_window
 
@@ -669,19 +760,30 @@ def _round_sums_jit(curve: CurveSpec, base: int, flavor: str, digits, pts: JPoin
     out = jax.lax.map(one_window, digits)
     if flavor == "fast":
         sums, excs = out
-        return sums, jnp.any(excs)
+        return sums, excs  # PER-ROUND flags (d,)
     return out
 
 
 def round_sums(curve: CurveSpec, base: int, digits, pts: JPoint):
     """Host entry: fast flavor with host-checked exception fallback (same
-    contract as best_multiexp — exact for every input).  Traced callers get
-    the in-graph lax.cond flavor."""
+    contract as best_multiexp — exact for every input).  Only the FLAGGED
+    rounds are recomputed in the safe flavor (a single flagged round used to
+    trigger a ~d-fold safe rerun of everything).  Traced callers get the
+    in-graph lax.cond flavor."""
     if isinstance(digits, jax.core.Tracer) or isinstance(pts.x, jax.core.Tracer):
         return _round_sums_jit(curve, base, "cond", digits, pts)
-    sums, exc = _round_sums_jit(curve, base, "fast", digits, pts)
-    if bool(jax.device_get(exc)):
-        return _round_sums_jit(curve, base, "safe", digits, pts)
+    sums, excs = _round_sums_jit(curve, base, "fast", digits, pts)
+    flags = np.asarray(jax.device_get(excs))
+    if flags.any():
+        idx = np.nonzero(flags)[0]
+        safe = _round_sums_jit(curve, base, "safe", digits[jnp.asarray(idx)],
+                               pts)
+        ii = jnp.asarray(idx)
+        sums = JPoint(
+            sums.x.at[ii].set(safe.x),
+            sums.y.at[ii].set(safe.y),
+            sums.z.at[ii].set(safe.z),
+        )
     return sums
 
 

@@ -117,9 +117,14 @@ def make_plan(n: int, c: int, T: int | None = None) -> RadixPlan:
     SH = 512 if raw >= 512 else raw
     OUT_ROWS = _cdiv(raw, SH) * SH
     R = n_tiles * S
-    SHB = 512 if R >= 512 else R
-    R_pad = _cdiv(R, SHB) * SHB
-    R_pad = _cdiv(R_pad, GHOST) * GHOST  # flat-DMA slices 1024-element units
+    # ghost-align FIRST (flat DMA slices 1024-element units), then pick the
+    # strip height as a divisor of R_pad — GHOST | 512 so both orders of
+    # rounding agree for R >= 512, and small R gets a single full strip
+    # (choosing SHB before the ghost rounding left R_pad % SHB != 0 rows
+    # of the pass-B output unwritten at small shapes)
+    R_pad = _cdiv(R, GHOST) * GHOST
+    SHB = 512 if R_pad >= 512 else R_pad
+    R_pad = _cdiv(R_pad, SHB) * SHB
     FB_COLS = _cdiv((1 << fb) + 1, 128) * 128
     n_ext = n + GHOST * P
     return RadixPlan(n, c, T, n_tiles, cb, fb, P, S, SP, OUT_ROWS, SH,

@@ -111,14 +111,33 @@ def sharded_divisor_witness(curve: CurveSpec, mesh: Mesh, round_pts: JPoint):
 def make_mesh_2d(n_dcn: int, n_ici: int | None = None,
                  axes=("dcn", "ici")) -> Mesh:
     """Hierarchical (dcn, ici) mesh: the outer axis crosses hosts over the
-    data-center network, the inner axis is a pod slice's ICI ring.  Device
-    order follows jax.devices(), whose convention keeps same-host chips
-    adjacent — consecutive groups of n_ici land on one slice."""
+    data-center network, the inner axis is a pod slice's ICI ring.
+
+    Devices are grouped by their slice/process so the inner axis genuinely
+    rides ICI: on real multislice TPU the DCN boundary follows slice
+    membership, not jax.devices() list position — relying on list order can
+    silently invert the traffic hierarchy (results stay correct, the DCN
+    would just carry ICI-volume traffic).  Requires exactly n_dcn groups of
+    n_ici devices (no silent truncation)."""
     devs = jax.devices()
     if n_ici is None:
+        assert len(devs) % n_dcn == 0, (len(devs), n_dcn)
         n_ici = len(devs) // n_dcn
-    devs = devs[: n_dcn * n_ici]
-    return Mesh(np.array(devs).reshape(n_dcn, n_ici), axes)
+    assert len(devs) == n_dcn * n_ici, (
+        f"need exactly {n_dcn}x{n_ici} devices, have {len(devs)}")
+    by_group: dict = {}
+    for d in devs:
+        key = (getattr(d, "slice_index", None), getattr(d, "process_index", 0))
+        by_group.setdefault(key, []).append(d)
+    groups = [by_group[k] for k in sorted(by_group, key=str)]
+    if len(groups) == n_dcn and all(len(g) == n_ici for g in groups):
+        grid = np.array([sorted(g, key=lambda d: d.id) for g in groups])
+    else:
+        # single-slice / virtual-device platforms: group boundaries don't
+        # exist, so contiguous id order is the only (and correct) choice
+        grid = np.array(sorted(devs, key=lambda d: d.id)).reshape(
+            n_dcn, n_ici)
+    return Mesh(grid, axes)
 
 
 def sharded_msm_2d(
@@ -194,6 +213,12 @@ def hierarchical_divisor_witness(curve: CurveSpec, mesh: Mesh,
     d, s = round_pts.x.shape[0], round_pts.x.shape[1]
     assert d % n_dcn == 0, "pad the round axis to a multiple of n_dcn"
     assert s % (2 * n_ici) == 0, "pad the point list to a multiple of 2*n_ici"
+    # bit-identity with the single-chip tree additionally needs every local
+    # chunk to pair off evenly at every level: a non-power-of-two local size
+    # would diverge from the global positional pairing at the odd tails
+    assert (s // n_ici) & (s // n_ici - 1) == 0, \
+        "local point count must be a power of two for bit-identical pairing"
+    assert n_ici & (n_ici - 1) == 0, "n_ici must be a power of two"
 
     @partial(
         jax.shard_map,
@@ -255,6 +280,11 @@ def points_sharded_divisor_witness(curve: CurveSpec, mesh: Mesh, pts: JPoint):
     s = pts.x.shape[0]
     assert s % (2 * d) == 0, "pad the point list to a multiple of 2*mesh"
     s_local = s // d
+    # see hierarchical_divisor_witness: bit-identical positional pairing
+    # needs power-of-two local chunks (and a power-of-two device count)
+    assert s_local & (s_local - 1) == 0, \
+        "local point count must be a power of two for bit-identical pairing"
+    assert d & (d - 1) == 0, "mesh size must be a power of two"
 
     @partial(
         jax.shard_map,
@@ -283,4 +313,98 @@ def points_sharded_divisor_witness(curve: CurveSpec, mesh: Mesh, pts: JPoint):
                 top.out.x[0], top.out.y[0], top.out.z[0])
 
     wa, wb, ox, oy, oz = run(pts.x, pts.y, pts.z)
+    return RF(wa, wb), JPoint(ox, oy, oz)
+
+
+def points_sharded_divisor_witness_a2a(curve: CurveSpec, mesh: Mesh,
+                                       pts: JPoint,
+                                       dist_min_la: int | None = None):
+    """points_sharded_divisor_witness with the top levels' fused-merge NTTs
+    SHARDED over the mesh via all_to_all — the BASELINE config-5 scaling
+    refinement (SURVEY §5 "top merge-tree levels and large NTTs sharded with
+    all_to_all", §7 step 8; the distributed counterpart of best_fft inside
+    the reference's merge, regular_functions_utils.rs:119-124,344).
+
+    Same local trees as points_sharded_divisor_witness; above the gather,
+    each level whose NTT size n satisfies n >= D^2 and whose a-length
+    reaches dist_min_la (default divisor.FUSE_MIN_LA) runs the distributed
+    tail (parallel/dist_ntt.make_sharded_tail): all 6 transforms and the
+    pointwise eval-domain algebra are partitioned over the evaluation axis
+    (1/D of the O(S log S) top-level work and of the ~4x NTT working set
+    per chip), with ONE all_to_all per transform; only the level's
+    input/output coefficient storage stays replicated.  Remaining small top
+    levels run replicated exactly as before.  Coefficients are BIT-IDENTICAL
+    to the single-chip tree (the butterfly network is positional; see
+    dist_ntt module docstring).
+
+    Exceptional merge inputs (degenerate line / 2-torsion output / root on
+    an NTT point, probability ~2^-250 for honest inputs) cannot take the
+    sequential coefficient fallback under the sharded axis; they are
+    detected exactly and this wrapper reruns the whole round on the
+    replicated path — results remain exact for every input.
+
+    pts: (S,) JPoint, S divisible by 2 * mesh size, S/D a power of two.
+    Returns (RF witness, output JPoint), replicated."""
+    from ..divisor import (
+        FUSE_MIN_LA,
+        Level,
+        _merge_level_jit,
+        _seeds_jit,
+        fused_logn,
+        merge_level,
+    )
+    from . import dist_ntt
+
+    if dist_min_la is None:
+        dist_min_la = FUSE_MIN_LA
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+    s = pts.x.shape[0]
+    assert s % (2 * D) == 0, "pad the point list to a multiple of 2*mesh"
+    s_local = s // D
+    assert s_local & (s_local - 1) == 0, \
+        "local point count must be a power of two for bit-identical pairing"
+    assert D & (D - 1) == 0, "mesh size must be a power of two"
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def run(px, py, pz):
+        lv = _seeds_jit(curve, JPoint(px, py, pz))
+        b_sem = 1
+        while lv.out.x.shape[-2] > 1:
+            b_sem *= 2
+            lv = _merge_level_jit(curve, b_sem + 1, b_sem, lv)
+        ga = jax.lax.all_gather(lv.wtns.a[0], axis)
+        gb = jax.lax.all_gather(lv.wtns.b[0], axis)
+        gox = jax.lax.all_gather(lv.out.x[0], axis)
+        goy = jax.lax.all_gather(lv.out.y[0], axis)
+        goz = jax.lax.all_gather(lv.out.z[0], axis)
+        top = Level(JPoint(gox, goy, goz), RF(ga, gb))
+        unsafe_flags: list = []
+        tail = dist_ntt.make_sharded_tail(curve, axis, D, unsafe_flags)
+        bs = b_sem
+        while top.out.x.shape[-2] > 1:
+            bs *= 2
+            la, lb = top.wtns.a.shape[-2], top.wtns.b.shape[-2]
+            n = 1 << fused_logn(la, lb)
+            if la >= dist_min_la and n >= D * D:
+                top = merge_level(curve, bs + 1, bs, top, tail=tail)
+            else:
+                top = merge_level(curve, bs + 1, bs, top)
+        unsafe = jnp.zeros((), bool)
+        for f in unsafe_flags:
+            unsafe = unsafe | f
+        return (top.wtns.a[0], top.wtns.b[0],
+                top.out.x[0], top.out.y[0], top.out.z[0], unsafe)
+
+    wa, wb, ox, oy, oz, unsafe = run(pts.x, pts.y, pts.z)
+    if bool(jax.device_get(unsafe)):
+        # exceptional inputs: exact replicated fallback (its in-graph
+        # coefficient-domain division handles every case bit-exactly)
+        return points_sharded_divisor_witness(curve, mesh, pts)
     return RF(wa, wb), JPoint(ox, oy, oz)

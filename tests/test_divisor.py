@@ -138,3 +138,30 @@ def test_naive_arrangement(rng):
     # every line in pos/neg is a valid line: not all-zero
     for (lx, ly, lz) in arr.pos + arr.neg:
         assert lx or ly or lz
+
+
+@pytest.mark.medium
+def test_naive_arrangement_device_matches_host(rng):
+    """Device-side naive line arrangement (reference :502-551, rayon-
+    parallel there) must emit BIT-IDENTICAL lines to the host replica —
+    including identity inputs, identity pair-partners (the reference drops
+    identity only in the inc1 slot), and the reversed tmp-drain order."""
+    curve = PALLAS
+    E = ec(curve)
+    base = pyref.random_points(rng, curve, 15)
+    closing = pyref.ec_neg(pyref.ec_msm([1] * 15, base, curve), curve)
+    pts = list(base) + [closing]  # multiset sums to the identity
+    pts.insert(3, None)   # identity inputs interspersed
+    pts.insert(8, None)
+    extra = pyref.random_points(rng, curve, 1)[0]
+    pts.append(extra)
+    pts.append(pyref.ec_neg(extra, curve))  # adjacent canceling pair ->
+    # an identity sum lands on the other stack and becomes a pair PARTNER
+
+    arr = D.compute_divisor_witness_naive_host(curve, pts)
+    dev_pos, dev_neg = D.compute_divisor_witness_naive_device(
+        curve, E.points_from_ints(pts))
+    got_pos = D.naive_device_lines_to_ints(curve, dev_pos)
+    got_neg = D.naive_device_lines_to_ints(curve, dev_neg)
+    assert got_pos == arr.pos
+    assert got_neg == arr.neg

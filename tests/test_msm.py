@@ -77,3 +77,35 @@ def test_round_sums_matches_oracle(rng):
     for k in range(d):
         want = pyref.ec_msm([int(v) for v in digits[k]], pts_ints, curve)
         assert got[k] == want, f"round {k}"
+
+
+@pytest.mark.medium
+def test_round_sums_fast_flavor_oracle(rng):
+    """n >= 64 routes the production blinded fast flavor (the n=8 test above
+    only exercises the safe path): oracle-checks the non-power-of-two-base
+    window — buckets base..2^c-1 are always empty — plus the all-zero spare
+    round (reference negbase pad) that used to flag the blinded triangle and
+    trigger a d-fold safe fallback."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from halo2_liam_eagen_msm_tpu.ops.ec import ec
+    from halo2_liam_eagen_msm_tpu.ops import msm as M
+
+    curve = PALLAS
+    E = ec(curve)
+    n, base, d = 128, 5, 3
+    pts_ints = pyref.random_points(rng, curve, n // 4) * 4  # dup points
+    pts = E.points_from_ints(pts_ints)
+    digits = np.array([[rng.randrange(base) for _ in range(n)]
+                       for _ in range(d)], dtype=np.int32)
+    digits[0, :] = 0  # the spare most-significant round is all zeros
+    dj = jnp.asarray(digits)
+    got = E.points_to_ints(M.round_sums(curve, base, dj, pts))
+    for k in range(d):
+        want = pyref.ec_msm([int(v) for v in digits[k]], pts_ints, curve)
+        assert got[k] == want, f"round {k}"
+    # the fast flavor itself must stay exception-free on these rounds (the
+    # all-zero round goes through the complete-add small triangle now)
+    _, excs = M._round_sums_jit(curve, base, "fast", dj, pts)
+    assert not np.asarray(excs).any()

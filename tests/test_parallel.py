@@ -79,6 +79,75 @@ def test_round_sharded_witness(rng):
     assert got == pyref.ec_msm(scalars, pts_ints, curve)
 
 
+@pytest.mark.medium
+def test_dist_ntt_pair(rng):
+    """All-to-all-sharded ntt_dif/intt_dit over 8 devices must be
+    BIT-IDENTICAL to the single-chip transforms (the butterfly network is
+    positional; parallel/dist_ntt module docstring)."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from halo2_liam_eagen_msm_tpu.limbs import ints_to_mont_limbs
+    from halo2_liam_eagen_msm_tpu.ops.ntt import intt_dit, ntt_dif
+    from halo2_liam_eagen_msm_tpu.parallel import dist_ntt
+
+    curve = PALLAS
+    spec = curve.field
+    mesh = make_mesh(8)
+    D, logn = 8, 6
+    n = 1 << logn
+    vals = [rng.randrange(spec.p) for _ in range(n)]
+    a = jnp.asarray(ints_to_mont_limbs(vals, spec))
+    dc = dist_ntt.dist_consts(spec, logn, 3)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(),),
+             out_specs=P("data"), check_vma=False)
+    def fwd(ar):
+        return dist_ntt.fwd_from_replicated(spec, ar, "data", D, dc)
+
+    spect = fwd(a)
+    want = ntt_dif(spec, a)
+    assert np.array_equal(np.asarray(spect), np.asarray(want))
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P("data"),),
+             out_specs=P(), check_vma=False)
+    def inv(xs):
+        return dist_ntt.inv_to_replicated(spec, xs, "data", D, dc)
+
+    back = inv(spect)
+    assert np.array_equal(np.asarray(back), np.asarray(a))
+    assert np.array_equal(np.asarray(back), np.asarray(intt_dit(spec, want)))
+
+
+@pytest.mark.medium
+def test_points_sharded_witness_a2a(rng):
+    """Top-of-tree with the fused merge's NTTs sharded via all_to_all: must
+    stay bit-identical to the single-chip tree (VERDICT r3 item 3; the size
+    forces the top level through the distributed tail: n_ntt = 64 = D^2)."""
+    from halo2_liam_eagen_msm_tpu.divisor import compute_divisor_witness_partial
+    from halo2_liam_eagen_msm_tpu.parallel.mesh import (
+        points_sharded_divisor_witness_a2a,
+    )
+
+    curve = PALLAS
+    E = ec(curve)
+    mesh = make_mesh(8)
+    n = 32  # 4 per device; top merge la=17,lb=16 -> NTT size 64 = D^2
+    pts_ints = pyref.random_points(rng, curve, n - 1)
+    res = pyref.ec_msm([1] * (n - 1), pts_ints, curve)
+    pts_ints.append(pyref.ec_neg(res, curve))
+    pts = E.points_from_ints(pts_ints)
+
+    wtns, out = points_sharded_divisor_witness_a2a(
+        curve, mesh, pts, dist_min_la=4)
+    assert bool(np.asarray(E.is_identity(out)).all())
+
+    ref_w, _ = compute_divisor_witness_partial(curve, pts)
+    assert np.array_equal(np.asarray(wtns.a), np.asarray(ref_w.a))
+    assert np.array_equal(np.asarray(wtns.b), np.asarray(ref_w.b))
+
+
 def test_sharded_msm_2d(rng):
     """Hierarchical (dcn, ici) mesh: ICI-local reduce, one point per slice
     over DCN — result equals the exact oracle."""

@@ -26,10 +26,15 @@ def set_use_pallas(v: bool | None) -> None:
 SANITY_CHECKS = False
 
 # Route large-window MSM reorders through the MXU radix shuffle
-# (ops/radix.py) instead of sort+gather.  Off switch exists for A/B
-# correctness checks and perf triage; the exact sort+gather fallback is
-# always compiled into the "cond"/"safe" flavors regardless.
-RADIX_MSM = True
+# (ops/radix.py) instead of sort+gather.  Wired, bit-exact, and covered by
+# tests/tools (tests/test_radix.py, tools/ab_radix_msm.py,
+# tools/profile_radix_msm.py) but DEFAULT OFF: measured on v5e at 2^20 the
+# radix window is ~1.6x the classic window (A/B 2026-08-21: radix 1.43s vs
+# classic 0.69s full MSM; radix_window alone 151ms vs sort+gather+hist
+# 100ms) — the one-hot matmuls + transpose + compact cost more than the
+# 64B-row gather they replace on this XLA/Mosaic stack.  See
+# docs/DESIGN-mxu-gather.md "Measured outcome".
+RADIX_MSM = False
 
 
 def use_radix_msm() -> bool:

@@ -699,6 +699,11 @@ def _best_multiexp_jit(
     E = ec(curve)
     n = scalars.shape[0]
     num_windows = -(-total_bits // c)
+    # the top window only spans the modulus' leftover bits: treating it as a
+    # full c-bit window wastes 2^c-sized bucket machinery on mostly-empty
+    # buckets AND (for the radix reorder) crowds the coarse partitions into
+    # half the slot space — give it its own effective width instead
+    c_top = total_bits - (num_windows - 1) * c  # in (0, c]
     digits = window_digits(scalars, c, num_windows)  # (W, N) int32
 
     # normalize the input points ONCE (shared batch inversion): every window's
@@ -711,17 +716,25 @@ def _best_multiexp_jit(
     ax, ay, aident = E.to_affine(pts)
     pay = _pack_pair(ax, ay)  # (N, 16) uint32
     one_window = _make_one_window(E, c, flavor, pay, n)
+    split_top = c_top < c and num_windows > 1
+    digits_main = digits[:-1] if split_top else digits
 
     from .. import config as _cfg
 
     if _cfg.use_pallas():
         # sequential windows: the pallas kernels inside prefer plain shapes
         # (each step is already a full-width batched kernel)
-        window_sums = jax.lax.map(one_window, digits)
+        window_sums = jax.lax.map(one_window, digits_main)
     elif window_batch >= num_windows:
-        window_sums = jax.vmap(one_window)(digits)  # (W,) point batch
+        window_sums = jax.vmap(one_window)(digits_main)  # (W,) point batch
     else:
-        window_sums = jax.lax.map(one_window, digits, batch_size=window_batch)
+        window_sums = jax.lax.map(one_window, digits_main,
+                                  batch_size=window_batch)
+
+    if split_top:
+        top = _make_one_window(E, c_top, flavor, pay, n)(digits[-1])
+        window_sums = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b[None]]), window_sums, top)
 
     exc_any = None
     if flavor == "fast":

@@ -111,7 +111,14 @@ def make_plan(n: int, c: int, T: int | None = None) -> RadixPlan:
     fb = c - cb
     P = 1 << cb
     mean = T // P
-    S = mean + max(4, mean // 2)
+    # slot capacity: ~mean + 3 sigma is NOT enough — with P*n_tiles*W
+    # (tile, partition, window) cells per MSM, even 2% per-tile overflow
+    # probability fires nearly every run and the exact fallback eats the
+    # win.  mean + max(8, mean) (2x padding) puts uniform-key overflow at
+    # ~0 while only growing pass-B work (the scan stream length does not
+    # depend on S); skewed windows (top-of-modulus digits) still spill
+    # ~10% of rows into the exact side path, which absorbs them.
+    S = mean + max(8, mean)
     SP = max(128, T // 32)
     raw = P * S + SP
     SH = 512 if raw >= 512 else raw

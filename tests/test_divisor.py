@@ -44,6 +44,7 @@ def check_vanishes(curve, wtns, pts):
         assert hrf.ev(curve, pt) == 0, f"witness does not vanish at {pt}"
 
 
+@pytest.mark.medium
 @pytest.mark.parametrize("n", [4, 10, 16])
 def test_witness_vanishes(rng, n):
     curve = PALLAS

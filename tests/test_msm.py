@@ -35,10 +35,11 @@ def test_msm_single_and_tiny(rng):
                     max_scalar_bits=64) is None
 
 
+@pytest.mark.medium
 def test_msm_larger_batch(rng):
     curve = PALLAS
     q = curve.scalar_field.p
-    n = 64
+    n = 256
     pts = pyref.random_points(rng, curve, n)
     scalars = [rng.randrange(1 << 64) for _ in range(n)]
     # duplicate points (forces the doubling path inside bucket accumulation)

@@ -23,6 +23,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.mark.medium
 def test_sharded_msm(rng):
     curve = PALLAS
     E = ec(curve)
@@ -79,7 +80,6 @@ def test_round_sharded_witness(rng):
     assert got == pyref.ec_msm(scalars, pts_ints, curve)
 
 
-@pytest.mark.medium
 def test_dist_ntt_pair(rng):
     """All-to-all-sharded ntt_dif/intt_dit over 8 devices must be
     BIT-IDENTICAL to the single-chip transforms (the butterfly network is
@@ -120,7 +120,6 @@ def test_dist_ntt_pair(rng):
     assert np.array_equal(np.asarray(back), np.asarray(intt_dit(spec, want)))
 
 
-@pytest.mark.medium
 def test_points_sharded_witness_a2a(rng):
     """Top-of-tree with the fused merge's NTTs sharded via all_to_all: must
     stay bit-identical to the single-chip tree (VERDICT r3 item 3; the size

@@ -155,6 +155,11 @@ def main():
         "total_sec_est": round(total, 2),
         "peak_hbm_bytes": int(peak),
         "oracle": "carry == best_multiexp (on device)",
+        # methodology v2 (since r3): value uses STEADY-STATE carries +
+        # streamed rounds; carries_compile_sec records the one-time
+        # (persistently cached) compile separately.  r2-era rows used
+        # first-call times including compile — not comparable.
+        "methodology": "v2-steady",
     }
     print(json.dumps(result), flush=True)
     out = args.out or os.path.join(os.path.dirname(os.path.dirname(

@@ -50,23 +50,32 @@ import numpy as np
 
 from ..fields import FieldSpec, N_LIMBS
 from ..ops.ff import ff
-from ..ops.ntt import _twiddles, intt_dit, ntt_dif, twiddle_flat
+from ..ops.ntt import _twiddles, intt_dit, ntt_dif
 
 
 @lru_cache(maxsize=None)
 def dist_consts(spec: FieldSpec, logn: int, logd: int):
-    """Device-resident twiddle operands for the 2^logd-way distributed pair
-    at size 2^logn: (top_f, top_i, loc_f, loc_i).  top_f[j] / top_i[j] is
-    the FULL (m/2, 16) stage table for m = 2^(logL+1+j) (each device
-    dynamic-slices its rows — the tables total ~n rows; production multihost
-    would shard them host-side, see docs/DESIGN-dist-ntt.md)."""
+    """HOST-side twiddle tables for the 2^logd-way distributed pair at size
+    2^logn: (top_f, top_i, loc_f, loc_i).  top_f[j] / top_i[j] is the FULL
+    (m/2, 16) stage table for m = 2^(logL+1+j) (each device dynamic-slices
+    its rows — the tables total ~n rows; production multihost would shard
+    them host-side, see docs/DESIGN-dist-ntt.md).
+
+    Deliberately NUMPY, not device arrays: a device constant first created
+    inside a shard_map trace is typed with that trace's Manual mesh, and an
+    lru_cache would leak it into traces over OTHER meshes (observed: a
+    4-device witness poisoning the 8-device transform probe).  Numpy
+    converts to a fresh in-trace constant at every use site."""
+    from ..ops.ntt import _twiddle_flat_host
+
     logL = logn - logd
     tf = _twiddles(spec, logn, False)
     ti = _twiddles(spec, logn, True)
-    top_f = tuple(jnp.asarray(tf[s - 1]) for s in range(logL + 1, logn + 1))
-    top_i = tuple(jnp.asarray(ti[s - 1]) for s in range(logL + 1, logn + 1))
+    top_f = tuple(tf[s - 1] for s in range(logL + 1, logn + 1))
+    top_i = tuple(ti[s - 1] for s in range(logL + 1, logn + 1))
     return (top_f, top_i,
-            twiddle_flat(spec, logL, False), twiddle_flat(spec, logL, True))
+            _twiddle_flat_host(spec, logL, False),
+            _twiddle_flat_host(spec, logL, True))
 
 
 def _top_tw(tab, md: int, L: int, LD: int, d):

@@ -121,12 +121,19 @@ def main():
     t_compile = time.time() - t0
     print(f"# round compile+first run: {t_compile:.1f}s", flush=True)
 
-    t0 = time.time()
     all_ok = True
+    t_rounds = 0.0
     for k in range(nrounds):
+        t0 = time.time()
         cs, ok = run_round(k)
         all_ok &= bool(jax.device_get(ok))
-    t_rounds = time.time() - t0
+        t_rounds += time.time() - t0
+        if k < 3 or k % 8 == 0:
+            print(f"#   round {k}: {time.time()-t0:.2f}s", flush=True)
+        # the axon tunnel defers device deallocations; back-to-back 2^20
+        # rounds (~5 GB transients each) OOM unless the queue drains —
+        # excluded from the timed total (pure host-side wait)
+        time.sleep(3)
     assert all_ok, "some divisor round did not close to the identity"
     print(f"# {nrounds} rounds: {t_rounds:.2f}s "
           f"({t_rounds/nrounds:.3f}s/round)", flush=True)

@@ -44,8 +44,10 @@ def check_vanishes(curve, wtns, pts):
         assert hrf.ev(curve, pt) == 0, f"witness does not vanish at {pt}"
 
 
-@pytest.mark.medium
-@pytest.mark.parametrize("n", [4, 10, 16])
+@pytest.mark.parametrize(
+    "n", [pytest.param(4, marks=pytest.mark.medium),
+          pytest.param(10, marks=pytest.mark.medium),  # >= 8: VERDICT tier bar
+          16])
 def test_witness_vanishes(rng, n):
     curve = PALLAS
     pts = closing_points(rng, curve, n - 1)

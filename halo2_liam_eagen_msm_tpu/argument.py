@@ -63,6 +63,12 @@ def gen_random_coeff(rng, spec: FieldSpec) -> int:
     return rng.randrange(math.isqrt(spec.p))
 
 
+def felt_from_u64(spec: FieldSpec, x: int):
+    """u64 -> field element limbs (reference felt_from_u64 :59-61)."""
+    assert 0 <= x < (1 << 64)
+    return ints_to_limbs([x % spec.p])[0]
+
+
 # ------------------------------------------------------------- device pieces
 
 def precompute_multiplicities(E: EC, pts: JPoint, base: int) -> JPoint:

@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--base", type=int, default=5)
     ap.add_argument("--rounds", type=int, default=None,
                     help="limit round count (default: all d rounds)")
+    ap.add_argument("--distinct", type=int, default=64,
+                    help="distinct base points (tiled). Few distinct points "
+                         "make equal adjacent subtree outputs (degenerate "
+                         "lines) more likely, which can push merge levels "
+                         "onto the exact coefficient fallback")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -58,8 +63,9 @@ def main():
     E = ec(curve)
     rng = random.Random(0xA26)
 
-    # points: a few random bases tiled (EC cost is data-independent)
-    distinct = 64
+    # points: a few random bases tiled (EC cost is data-independent only
+    # while no exceptional merge fires; see --distinct)
+    distinct = args.distinct
     bpts = pyref.random_points(rng, curve, distinct)
     xs = np.asarray(ints_to_mont_limbs([p[0] for p in bpts], curve.field))
     ys = np.asarray(ints_to_mont_limbs([p[1] for p in bpts], curve.field))

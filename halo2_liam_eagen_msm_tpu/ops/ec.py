@@ -39,6 +39,13 @@ class JPoint(NamedTuple):
 
 _OFFSET_CACHE: dict = {}
 
+# Canonical block widths for fixed-shape reductions: EC-add kernel bodies
+# re-trace per distinct batch shape, so every grouped sum/scan funnels
+# through these two widths (SUM_G also matches _pick_block_width's block
+# count for the blocked prefix scans, sharing one trace across call sites).
+SUM_G = 2048
+SUM_G2 = 64
+
 
 class EC:
     def __init__(self, curve: CurveSpec):
@@ -415,22 +422,52 @@ class EC:
         n = x.shape[0]
         batch = x.shape[1:-1]  # extra batch dims ride along
         if _cfg.use_pallas():
-            # log-depth halving: each level is one wide Pallas add kernel
-            while n > 1:
-                half = n // 2
-                s = self.add(
-                    JPoint(x[:half], y[:half], z[:half]),
-                    JPoint(x[half:2 * half], y[half:2 * half], z[half:2 * half]),
+            # FIXED-SHAPE grouped reduction (docs/DESIGN-compile-time.md
+            # prescription 1): every unrolled Montgomery add body re-traces
+            # per DISTINCT batch shape (~30k jaxpr equations each), so the
+            # old log-halving's log2(n) shrinking instantiations dominated
+            # cold compile.  Instead: scan down to the canonical block
+            # widths SUM_G (shared with the blocked prefix scans) then
+            # SUM_G2, and finish with a Hillis-Steele log scan whose adds
+            # all run at ONE shape.  A few extra kernel launches; the add
+            # traces collapse to <= 3 shapes shared across call sites.
+            def _scan_to(x, y, z, n, g):
+                w = -(-n // g)
+                pad = g * w - n
+                if pad:
+                    idp = self.identity((pad,) + batch)
+                    x = jnp.concatenate([x, idp.x], axis=0)
+                    y = jnp.concatenate([y, idp.y], axis=0)
+                    z = jnp.concatenate([z, idp.z], axis=0)
+                cols = tuple(
+                    c.reshape((g, w) + batch + (N_LIMBS,)).swapaxes(0, 1)
+                    for c in (x, y, z)
                 )
-                if n % 2:
-                    x = jnp.concatenate([s.x, x[2 * half:]], axis=0)
-                    y = jnp.concatenate([s.y, y[2 * half:]], axis=0)
-                    z = jnp.concatenate([s.z, z[2 * half:]], axis=0)
-                    n = half + 1
-                else:
-                    x, y, z = s.x, s.y, s.z
-                    n = half
-            return JPoint(x[0], y[0], z[0])
+
+                def step(carry, col):
+                    return self.add(carry, JPoint(*col)), None
+
+                acc, _ = jax.lax.scan(step, self.identity((g,) + batch), cols)
+                return acc.x, acc.y, acc.z
+
+            for g in (SUM_G, SUM_G2):
+                if n > 2 * g:
+                    x, y, z = _scan_to(x, y, z, n, g)
+                    n = g
+            # n <= 2*SUM_G2 (or was small to begin with): Hillis-Steele
+            # inclusive scan at fixed width n; total lands in the last slot
+            pt = JPoint(x, y, z)
+            d = 1
+            while d < n:
+                idp = self.identity((d,) + batch)
+                shifted = JPoint(
+                    jnp.concatenate([idp.x, pt.x[:-d]], axis=0),
+                    jnp.concatenate([idp.y, pt.y[:-d]], axis=0),
+                    jnp.concatenate([idp.z, pt.z[:-d]], axis=0),
+                )
+                pt = self.add(pt, shifted)
+                d *= 2
+            return JPoint(pt.x[n - 1], pt.y[n - 1], pt.z[n - 1])
         while n > 1:
             # w = 1 on the last round: the scan itself finishes the reduction
             # (no unrolled tail tree — every unrolled add is a fresh ~45-modmul

@@ -65,6 +65,11 @@ def _pick_block_width(n: int) -> int:
     return max(2, -(-n // g))
 
 
+def _pow2_pad(n: int) -> int:
+    """Padding that takes n up to the next power of two (0 if already)."""
+    return (1 << max(n - 1, 1).bit_length()) - n if n & (n - 1) else 0
+
+
 def _pad_pts(E: EC, p: JPoint, pad: int) -> JPoint:
     if not pad:
         return p
@@ -512,6 +517,10 @@ def _make_one_window(E: EC, c: int, flavor: str, pay, n: int):
         bucket = E.add(
             _take(pref, slice(1, None)), E.neg(_take(pref, slice(0, -1)))
         )  # (2^c - 1,) bucket sums for b = 1 .. 2^c-1
+        # pad to 2^c with identity (exact under complete adds): power-of-two
+        # shapes share one EC-add trace across scan/sum call sites instead
+        # of instantiating fresh kernel bodies at 2^c - 1 (compile time)
+        bucket = _pad_pts(E, bucket, _pow2_pad(bucket.x.shape[0]))
         sfx = prefix_scan_points(E, bucket, reverse=True)
         return E.sum(sfx, axis=0)
 
@@ -542,6 +551,15 @@ def _make_one_window(E: EC, c: int, flavor: str, pay, n: int):
         the accumulated (2^c - 1) copies of T are cancelled with one
         precomputed [2^c-1]T.  Returns (point, exc)."""
         nb = bucket.x.shape[0]  # static: 2^c - 1
+        if nb > 64:
+            # pad to 2^c: the blinded suffix scan and the complete-add final
+            # sum then run at power-of-two shapes shared with the other
+            # blocked scans (one EC-add trace instead of log2 fresh bodies).
+            # Identity slots pass through add_fast unflagged and carry
+            # exactly one T each, so the [nb]T un-blind below stays exact
+            # with nb = the PADDED count.
+            bucket = _pad_pts(E, bucket, _pow2_pad(nb))
+            nb = bucket.x.shape[0]
         if nb <= 64:
             # small windows (the argument's base-ary digit rounds): the
             # complete-add triangle is as cheap as the blinded one at this

@@ -47,6 +47,21 @@ SUM_G = 2048
 SUM_G2 = 64
 
 
+def _bucket_lanes(b: int) -> int:
+    """Canonical flattened-batch size for the pallas EC kernels: next power
+    of two, at least one full 1024-lane block.  The unrolled Montgomery add
+    body (~100k jaxpr equations) re-traces per distinct wrapper aval, so
+    funneling every call through a few canonical sizes is worth the pad
+    lanes (identity slots are exact no-ops for both add flavors)."""
+    return max(1 << max(b - 1, 1).bit_length(), 1024)
+
+
+def _pad_rows(arrs, b: int, bp: int):
+    if bp == b:
+        return arrs
+    return tuple(jnp.pad(a, ((0, bp - b), (0, 0))) for a in arrs)
+
+
 class EC:
     def __init__(self, curve: CurveSpec):
         self.curve = curve
@@ -121,10 +136,21 @@ class EC:
 
         if _route_pallas(p.x, q.x):
             from . import pallas_ff
-            ox, oy, oz = pallas_ff.ec_add(
-                self.curve, p.x, p.y, p.z, q.x, q.y, q.z
+            # canonicalize the flattened batch (identity pad rows are exact
+            # no-ops for the complete add) so wrapper avals — and therefore
+            # kernel-body traces — collapse to a few shared sizes
+            lead = jnp.broadcast_shapes(p.x.shape[:-1], p.y.shape[:-1],
+                                        p.z.shape[:-1], q.x.shape[:-1],
+                                        q.y.shape[:-1], q.z.shape[:-1])
+            flat = tuple(
+                jnp.broadcast_to(a, lead + (N_LIMBS,)).reshape(-1, N_LIMBS)
+                for a in (p.x, p.y, p.z, q.x, q.y, q.z)
             )
-            return JPoint(ox, oy, oz)
+            b = flat[0].shape[0]
+            flat = _pad_rows(flat, b, _bucket_lanes(b))
+            ox, oy, oz = pallas_ff.ec_add(self.curve, *flat)
+            return JPoint(*(o[:b].reshape(lead + (N_LIMBS,))
+                            for o in (ox, oy, oz)))
         f = self.f
         z1z1, z2z2 = f.sqr(p.z), f.sqr(q.z)
         u1 = f.mul(p.x, z2z2)
@@ -213,10 +239,21 @@ class EC:
 
         if _route_pallas(p.x, q.x):
             from . import pallas_ff
-            ox, oy, oz, exc = pallas_ff.ec_add_fast(
-                self.curve, p.x, p.y, p.z, q.x, q.y, q.z
+            # canonical flattened batch; zero pad rows are double-identity
+            # slots, which pass through unflagged (id1 & id2 -> no exc)
+            lead = jnp.broadcast_shapes(p.x.shape[:-1], p.y.shape[:-1],
+                                        p.z.shape[:-1], q.x.shape[:-1],
+                                        q.y.shape[:-1], q.z.shape[:-1])
+            flat = tuple(
+                jnp.broadcast_to(a, lead + (N_LIMBS,)).reshape(-1, N_LIMBS)
+                for a in (p.x, p.y, p.z, q.x, q.y, q.z)
             )
-            return JPoint(ox, oy, oz), exc != 0
+            b = flat[0].shape[0]
+            flat = _pad_rows(flat, b, _bucket_lanes(b))
+            ox, oy, oz, exc = pallas_ff.ec_add_fast(self.curve, *flat)
+            out = JPoint(*(o[:b].reshape(lead + (N_LIMBS,))
+                           for o in (ox, oy, oz)))
+            return out, (exc != 0)[:b].reshape(lead)
         f = self.f
         z1z1, z2z2 = f.sqr(p.z), f.sqr(q.z)
         u1 = f.mul(p.x, z2z2)

@@ -733,11 +733,19 @@ def _best_multiexp_jit(
     # 42 ms for 128 B rows), so packing halves the dominant window stage.
     ax, ay, aident = E.to_affine(pts)
     pay = _pack_pair(ax, ay)  # (N, 16) uint32
-    one_window = _make_one_window(E, c, flavor, pay, n)
-    split_top = c_top < c and num_windows > 1
-    digits_main = digits[:-1] if split_top else digits
-
     from .. import config as _cfg
+
+    one_window = _make_one_window(E, c, flavor, pay, n)
+    # Splitting the top window to its natural width c_top saves ~half of ONE
+    # window's bucket-phase work (a few ms at 2^20) but re-instantiates the
+    # ENTIRE bucket machinery at a second static width — ~5 fresh unrolled
+    # EC-kernel body traces, ~1 min of cold compile (tools/trace_census.py).
+    # Only worth it for the radix reorder, whose coarse partitions genuinely
+    # need the narrower key space (see radix_plan's docstring).
+    split_top = (c_top < c and num_windows > 1 and _cfg.use_pallas()
+                 and _cfg.use_radix_msm() and flavor != "safe"
+                 and n >= (1 << 17))
+    digits_main = digits[:-1] if split_top else digits
 
     if _cfg.use_pallas():
         # sequential windows: the pallas kernels inside prefer plain shapes

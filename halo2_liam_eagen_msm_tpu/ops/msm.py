@@ -742,9 +742,15 @@ def _best_multiexp_jit(
     # EC-kernel body traces, ~1 min of cold compile (tools/trace_census.py).
     # Only worth it for the radix reorder, whose coarse partitions genuinely
     # need the narrower key space (see radix_plan's docstring).
+    # mirror radix_plan's FULL viability predicate (incl. for the c_top
+    # width): when the plan would be rejected anyway (n not tile-aligned,
+    # width < 8) the split would re-instantiate the bucket machinery at a
+    # second static width for nothing — ~1 min of cold compile with zero
+    # radix benefit (ADVICE r4)
     split_top = (c_top < c and num_windows > 1 and _cfg.use_pallas()
                  and _cfg.use_radix_msm() and flavor != "safe"
-                 and n >= (1 << 17))
+                 and n >= (1 << 17) and n % 4096 == 0
+                 and c >= 8 and c_top >= 8)
     digits_main = digits[:-1] if split_top else digits
 
     if _cfg.use_pallas():

@@ -157,7 +157,10 @@ def main():
     peak = mem.get("peak_bytes_in_use", 0)
     total = t_carries_steady + t_rounds * (d / nrounds)
     result = {
-        "metric": f"argument_witness_2^{args.logn}_base{base}",
+        # metric name carries the methodology version: v2 rows (steady-state
+        # carries + streamed rounds) are not comparable with the deprecated
+        # v1 first-call rows still in bench_argument.json's history
+        "metric": f"argument_witness_v2_2^{args.logn}_base{base}",
         "value": round(n * 1.0 / total, 1),
         "unit": "points/s/chip (full witness, all rounds)",
         "rounds": d,

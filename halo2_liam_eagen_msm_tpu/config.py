@@ -41,6 +41,25 @@ def use_radix_msm() -> bool:
     return RADIX_MSM
 
 
+# Limb-major pallas-NTT merge tail (divisor._merge_tail_fused_lm): keeps
+# the fused merge's transforms/pointwise algebra in (16, nb, 8, 128) layout
+# with fused butterfly kernels — ~3x fewer HBM passes per stage than the
+# per-op pallas path (see docs/DESIGN-ntt-passes.md).  None = follow
+# use_pallas().
+_LM_MERGE: bool | None = None
+
+
+def set_lm_merge(v: bool | None) -> None:
+    global _LM_MERGE
+    _LM_MERGE = v
+
+
+def use_lm_merge() -> bool:
+    if _LM_MERGE is not None:
+        return _LM_MERGE
+    return use_pallas()
+
+
 def use_pallas() -> bool:
     if _USE_PALLAS is not None:
         return _USE_PALLAS

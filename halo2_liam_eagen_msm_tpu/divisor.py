@@ -243,15 +243,21 @@ def _pad_poly(arr, n):
 @lru_cache(maxsize=None)
 def _fused_consts_dev(curve: CurveSpec, logn: int):
     """Device-resident constants for the fused merge at NTT size 2^logn:
-    (W, S, fwd twiddles, inv twiddles), each uploaded once and passed as jit
-    OPERANDS — inlining them as HLO constants made production-size compile
-    payloads tens of MB per level (rejected by the axon tunnel, HTTP 413)."""
+    (W, S, fwd twiddles, inv twiddles, lm fwd tables, lm inv tables), each
+    uploaded once and passed as jit OPERANDS — inlining them as HLO
+    constants made production-size compile payloads tens of MB per level
+    (rejected by the axon tunnel, HTTP 413).  The last two entries are the
+    limb-major pallas-NTT stage tables (ops/pallas_ntt.tables_op)."""
     from .ops.ntt import twiddle_flat
+    from .ops.pallas_ntt import tables_op
 
     W, S = _eval_domain_consts(curve, logn)
+    lm_f = jax.tree_util.tree_map(jnp.asarray, tables_op(curve.field, logn, False))
+    lm_i = jax.tree_util.tree_map(jnp.asarray, tables_op(curve.field, logn, True))
     return (jnp.asarray(W), jnp.asarray(S),
             twiddle_flat(curve.field, logn, False),
-            twiddle_flat(curve.field, logn, True))
+            twiddle_flat(curve.field, logn, True),
+            lm_f, lm_i)
 
 
 def fused_logn(la: int, lb: int) -> int:
@@ -259,26 +265,20 @@ def fused_logn(la: int, lb: int) -> int:
     return (la + lb + 2 - 1).bit_length()
 
 
-def merge_pairs(curve: CurveSpec, a: Level, b: Level, consts=None,
-                tail=None) -> Level:
-    """Batched Propagation::merge (reference :333-360): for each slot,
-      output = a.out + b.out
-      witness = a.wtns * b.wtns * line(-a.out, -b.out) / (x-ax)(x-bx)
-    with the division skipped (and the line set to 1) when either output is
-    the identity (:340-342).
-
-    tail: optional override for the numerator/division computation (same
-    signature as _merge_tail_fused) — used by the distributed all_to_all
-    merge (parallel/dist_ntt.make_sharded_tail) to shard the NTTs over a
-    mesh axis while this head (points, lines, roots) stays replicated."""
+def merge_head(curve: CurveSpec, a_out: JPoint, b_out: JPoint):
+    """The point/line/root computation shared by every merge flavor: from
+    the two subtree output points, the merged output, the bypass mask, the
+    degenerate-line flag, the (masked) line coefficients, the outputs'
+    negated-y values and the division roots.  Split out of merge_pairs so
+    the sharded-coefficient distributed merge (parallel/dist_ntt) can run
+    it on replicated points while the polynomial tail is sharded."""
     E = ec(curve)
     k = ff(curve.field)
-    spec = curve.field
 
-    out = E.add(a.out, b.out)
-    bypass = E.is_identity(a.out) | E.is_identity(b.out)
+    out = E.add(a_out, b_out)
+    bypass = E.is_identity(a_out) | E.is_identity(b_out)
 
-    na, nb = E.neg(a.out), E.neg(b.out)
+    na, nb = E.neg(a_out), E.neg(b_out)
     (nax, nay, naid), (nbx, nby, nbid) = _multi_affine(E, [na, nb])
     lx, ly, lz = linefunc_affine(curve, nax, nay, naid, nbx, nby, nbid)
 
@@ -301,13 +301,37 @@ def merge_pairs(curve: CurveSpec, a: Level, b: Level, consts=None,
     # x is negation-invariant so nax/nbx serve
     root_a = k.select(bypass, jnp.broadcast_to(jnp.asarray(k.one), nax.shape), nax)
     root_b = k.select(bypass, jnp.broadcast_to(jnp.asarray(k.one), nbx.shape), nbx)
+    return out, bypass, deg, (lx, ly, lz), (nay, nby), (root_a, root_b)
+
+
+def merge_pairs(curve: CurveSpec, a: Level, b: Level, consts=None,
+                tail=None) -> Level:
+    """Batched Propagation::merge (reference :333-360): for each slot,
+      output = a.out + b.out
+      witness = a.wtns * b.wtns * line(-a.out, -b.out) / (x-ax)(x-bx)
+    with the division skipped (and the line set to 1) when either output is
+    the identity (:340-342).
+
+    tail: optional override for the numerator/division computation (same
+    signature as _merge_tail_fused) — used by the distributed all_to_all
+    merge (parallel/dist_ntt.make_sharded_tail) to shard the NTTs over a
+    mesh axis while this head (points, lines, roots) stays replicated."""
+    k = ff(curve.field)
+    spec = curve.field
+
+    out, bypass, deg, (lx, ly, lz), (nay, nby), (root_a, root_b) = \
+        merge_head(curve, a.out, b.out)
 
     if tail is not None:
         return tail(curve, a, b, out, bypass, deg,
                     (lx, ly, lz), (nay, nby), (root_a, root_b), consts)
 
     if a.wtns.a.shape[-2] >= FUSE_MIN_LA:
-        return _merge_tail_fused(
+        from . import config as _cfg
+
+        tail_fn = (_merge_tail_fused_lm if _cfg.use_lm_merge()
+                   else _merge_tail_fused)
+        return tail_fn(
             curve, a, b, out, bypass, deg,
             (lx, ly, lz), (nay, nby), (root_a, root_b), consts,
         )
@@ -321,6 +345,120 @@ def merge_pairs(curve: CurveSpec, a: Level, b: Level, consts=None,
     wa = k.select(bypass[..., None], num.a, qa)
     wb = k.select(bypass[..., None], num.b, qb)
     return Level(out, RF(wa, wb))
+
+
+def _merge_tail_fused_lm(curve, a, b, out, bypass, deg, line, neg_ys, roots,
+                         consts=None):
+    """Limb-major twin of `_merge_tail_fused`: same math, same results, but
+    every transform/pointwise op runs on (16, nb, 8, 128) limb-major data
+    through ops/pallas_ntt — ONE layout transpose per operand at entry and
+    one per result at exit, instead of one per field op.  Cuts the ~9 HBM
+    passes per butterfly stage to ~3 (block stages) and runs all stride
+    <= 512 stages in a single launch; measured motivation in
+    docs/DESIGN-ntt-passes.md (the 2^20 round superlinearity, VERDICT r4
+    item 2).  The 1/n inverse-NTT scale is folded into the denominator
+    batch inversion (dinv = 1/(n*den)).
+    """
+    from .ops import pallas_ntt as PN
+
+    k = ff(curve.field)
+    spec = curve.field
+    lx, ly, lz = line
+    nay, nby = neg_ys
+    root_a, root_b = roots
+
+    la, lb = a.wtns.a.shape[-2], a.wtns.b.shape[-2]
+    out_len_a = la + lb + 2
+    out_len_b = la + lb + 1
+    logn = fused_logn(la, lb)
+    n = 1 << logn
+    if consts is None:
+        Wc, Sc = _eval_domain_consts(curve, logn)
+        from .ops.pallas_ntt import tables_op
+        W, S = jnp.asarray(Wc), jnp.asarray(Sc)
+        lm_f = tables_op(spec, logn, False)
+        lm_i = tables_op(spec, logn, True)
+    else:
+        W, S, _, _, lm_f, lm_i = consts
+
+    lead = a.wtns.a.shape[:-2]          # (..., m2)
+    e_shape = lead + (n,)
+
+    def fwd(arr):
+        return PN.ntt_dif_lm(spec, PN.to_lm(_pad_poly(arr, n)), logn, lm_f)
+
+    fa1 = fwd(a.wtns.a)
+    fb1 = fwd(a.wtns.b)
+    fa2 = fwd(b.wtns.a)
+    fb2 = fwd(b.wtns.b)
+
+    total_pairs = int(np.prod(lead))
+    S_lm = PN.bcast_table_lm(S, total_pairs)
+    W_lm = PN.bcast_table_lm(W, total_pairs)
+    lx_lm = PN.bcast_pairs_lm(lx, n)
+    ly_lm = PN.bcast_pairs_lm(ly, n)
+    lz_lm = PN.bcast_pairs_lm(lz, n)
+    ra_lm = PN.bcast_pairs_lm(root_a, n)
+    rb_lm = PN.bcast_pairs_lm(root_b, n)
+
+    def mul(x, y):
+        return PN.lm_mul(spec, x, y)
+
+    def add(x, y):
+        return PN.lm_add(spec, x, y)
+
+    def sub(x, y):
+        return PN.lm_sub(spec, x, y)
+
+    pv = add(mul(fa1, fa2), mul(mul(fb1, fb2), S_lm))
+    qv = add(mul(fa1, fb2), mul(fb1, fa2))
+    lv = add(lz_lm, mul(lx_lm, W_lm))
+    num_a_v = add(mul(pv, lv), mul(mul(qv, S_lm), ly_lm))
+    num_b_v = add(mul(pv, ly_lm), mul(qv, lv))
+
+    den = mul(sub(W_lm, ra_lm), sub(W_lm, rb_lm))
+    # bypass slots: den = one, so after the folded 1/n scale the quotient
+    # equals intt(num)/n — exactly the element-major tail's bypass result
+    mask01 = jnp.broadcast_to(
+        bypass[..., None].astype(jnp.uint32), bypass.shape + (N_LIMBS,))
+    byp_lm = PN.bcast_pairs_lm(mask01, n)
+    one_col = jnp.asarray(np.asarray(k.one, np.uint32)).reshape(
+        N_LIMBS, 1, 1, 1)
+    den = jnp.where(byp_lm != 0, one_col, den)
+    # fold the inverse transforms' 1/n into the batch inversion
+    n_mont = (n << 256) % spec.p
+    den = PN.lm_mul_const(spec, den, n_mont)
+
+    torsion = ~bypass & (k.is_zero(nay) | k.is_zero(nby))
+    den_zero = jnp.any(jnp.all(den == 0, axis=0))
+    unsafe = jnp.any(deg) | jnp.any(torsion) | den_zero
+
+    def div_eval(num_a_v, num_b_v, den):
+        den_em = PN.from_lm(den, (total_pairs, n))
+        dinv_lm = PN.to_lm(k.batch_inv(den_em, axis=-2))
+        wa = PN.from_lm(
+            PN.intt_dit_lm(spec, PN.lm_mul(spec, num_a_v, dinv_lm),
+                           logn, lm_i), lead + (n,))
+        wb = PN.from_lm(
+            PN.intt_dit_lm(spec, PN.lm_mul(spec, num_b_v, dinv_lm),
+                           logn, lm_i), lead + (n,))
+        return wa, wb
+
+    def div_coeff(num_a_v, num_b_v, den):
+        # exceptional inputs: exact coefficient-domain synthetic division
+        # (element-major — this branch is cold)
+        num_a = intt_dit(spec, PN.from_lm(num_a_v, e_shape), tws=tw_i_op)
+        num_b = intt_dit(spec, PN.from_lm(num_b_v, e_shape), tws=tw_i_op)
+        qa = P.kate_div(spec, P.kate_div(spec, num_a, root_a), root_b)
+        qb = P.kate_div(spec, P.kate_div(spec, num_b, root_a), root_b)
+        wa = k.select(bypass[..., None], num_a, qa)
+        wb = k.select(bypass[..., None], num_b, qb)
+        return wa, wb
+
+    tw_i_op = consts[3] if consts is not None else None
+    wa, wb = jax.lax.cond(unsafe, div_coeff, div_eval,
+                          num_a_v, num_b_v, den)
+    return Level(out, RF(wa[..., :out_len_a, :], wb[..., :out_len_b, :]))
 
 
 def _merge_tail_fused(curve, a, b, out, bypass, deg, line, neg_ys, roots,
@@ -357,7 +495,7 @@ def _merge_tail_fused(curve, a, b, out, bypass, deg, line, neg_ys, roots,
         Wc, Sc = _eval_domain_consts(curve, logn)
         W, S, tw_f, tw_i = (jnp.asarray(Wc), jnp.asarray(Sc), None, None)
     else:
-        W, S, tw_f, tw_i = consts
+        W, S, tw_f, tw_i = consts[:4]
 
     # gather-free transforms: everything below is pointwise in the
     # evaluation domain, so the shared bit-reversed order of ntt_dif is as

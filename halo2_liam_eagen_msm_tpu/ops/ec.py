@@ -39,12 +39,11 @@ class JPoint(NamedTuple):
 
 _OFFSET_CACHE: dict = {}
 
-# Canonical block widths for fixed-shape reductions: EC-add kernel bodies
+# Canonical block width for fixed-shape reductions: EC-add kernel bodies
 # re-trace per distinct batch shape, so every grouped sum/scan funnels
-# through these two widths (SUM_G also matches _pick_block_width's block
+# through this one width (SUM_G also matches _pick_block_width's block
 # count for the blocked prefix scans, sharing one trace across call sites).
 SUM_G = 2048
-SUM_G2 = 64
 
 
 def _bucket_lanes(b: int) -> int:
@@ -464,10 +463,12 @@ class EC:
             # per DISTINCT batch shape (~30k jaxpr equations each), so the
             # old log-halving's log2(n) shrinking instantiations dominated
             # cold compile.  Instead: scan down to the canonical block
-            # widths SUM_G (shared with the blocked prefix scans) then
-            # SUM_G2, and finish with a Hillis-Steele log scan whose adds
-            # all run at ONE shape.  A few extra kernel launches; the add
-            # traces collapse to <= 3 shapes shared across call sites.
+            # width SUM_G (shared with the blocked prefix scans), then
+            # finish with a Hillis-Steele log scan whose adds all run at
+            # THAT one shape.  (The former intermediate SUM_G2=64 scan
+            # stage burned ~32 sequential launches at 64/1024-lane
+            # occupancy — the direct log scan at SUM_G does ~11 launches
+            # at full width for strictly less padded-lane work; ADVICE r4.)
             def _scan_to(x, y, z, n, g):
                 w = -(-n // g)
                 pad = g * w - n
@@ -487,11 +488,10 @@ class EC:
                 acc, _ = jax.lax.scan(step, self.identity((g,) + batch), cols)
                 return acc.x, acc.y, acc.z
 
-            for g in (SUM_G, SUM_G2):
-                if n > 2 * g:
-                    x, y, z = _scan_to(x, y, z, n, g)
-                    n = g
-            # n <= 2*SUM_G2 (or was small to begin with): Hillis-Steele
+            if n > 2 * SUM_G:
+                x, y, z = _scan_to(x, y, z, n, SUM_G)
+                n = SUM_G
+            # n <= 2*SUM_G (or was small to begin with): Hillis-Steele
             # inclusive scan at fixed width n; total lands in the last slot
             pt = JPoint(x, y, z)
             d = 1

@@ -318,7 +318,8 @@ def points_sharded_divisor_witness(curve: CurveSpec, mesh: Mesh, pts: JPoint):
 
 def points_sharded_divisor_witness_a2a(curve: CurveSpec, mesh: Mesh,
                                        pts: JPoint,
-                                       dist_min_la: int | None = None):
+                                       dist_min_la: int | None = None,
+                                       coeff_sharded: bool = False):
     """points_sharded_divisor_witness with the top levels' fused-merge NTTs
     SHARDED over the mesh via all_to_all — the BASELINE config-5 scaling
     refinement (SURVEY §5 "top merge-tree levels and large NTTs sharded with
@@ -342,6 +343,12 @@ def points_sharded_divisor_witness_a2a(curve: CurveSpec, mesh: Mesh,
     sequential coefficient fallback under the sharded axis; they are
     detected exactly and this wrapper reruns the whole round on the
     replicated path — results remain exact for every input.
+
+    coeff_sharded=True additionally keeps the level COEFFICIENTS sharded
+    between levels (dist_ntt.run_sharded_top_tree — DESIGN-dist-ntt
+    refinement #1): the two per-level n-row all_gathers become one final
+    gather per round, and per-chip level storage drops D-fold.  Still
+    bit-identical to the single-chip tree.
 
     pts: (S,) JPoint, S divisible by 2 * mesh size, S/D a power of two.
     Returns (RF witness, output JPoint), replicated."""
@@ -386,16 +393,20 @@ def points_sharded_divisor_witness_a2a(curve: CurveSpec, mesh: Mesh,
         goz = jax.lax.all_gather(lv.out.z[0], axis)
         top = Level(JPoint(gox, goy, goz), RF(ga, gb))
         unsafe_flags: list = []
-        tail = dist_ntt.make_sharded_tail(curve, axis, D, unsafe_flags)
-        bs = b_sem
-        while top.out.x.shape[-2] > 1:
-            bs *= 2
-            la, lb = top.wtns.a.shape[-2], top.wtns.b.shape[-2]
-            n = 1 << fused_logn(la, lb)
-            if la >= dist_min_la and n >= D * D:
-                top = merge_level(curve, bs + 1, bs, top, tail=tail)
-            else:
-                top = merge_level(curve, bs + 1, bs, top)
+        if coeff_sharded:
+            top = dist_ntt.run_sharded_top_tree(
+                curve, axis, D, top, b_sem, dist_min_la, unsafe_flags)
+        else:
+            tail = dist_ntt.make_sharded_tail(curve, axis, D, unsafe_flags)
+            bs = b_sem
+            while top.out.x.shape[-2] > 1:
+                bs *= 2
+                la, lb = top.wtns.a.shape[-2], top.wtns.b.shape[-2]
+                n = 1 << fused_logn(la, lb)
+                if la >= dist_min_la and n >= D * D:
+                    top = merge_level(curve, bs + 1, bs, top, tail=tail)
+                else:
+                    top = merge_level(curve, bs + 1, bs, top)
         unsafe = jnp.zeros((), bool)
         for f in unsafe_flags:
             unsafe = unsafe | f

@@ -151,6 +151,35 @@ def test_points_sharded_witness_a2a(rng):
     assert np.array_equal(np.asarray(wtns.b), np.asarray(ref_w.b))
 
 
+def test_points_sharded_witness_coeff_sharded(rng):
+    """coeff_sharded=True keeps level coefficients SHARDED between levels
+    (dist_ntt.run_sharded_top_tree — the per-level all_gathers are replaced
+    by ppermute reshards + one final gather): still bit-identical to the
+    single-chip tree (DESIGN-dist-ntt refinement #1)."""
+    from halo2_liam_eagen_msm_tpu.divisor import compute_divisor_witness_partial
+    from halo2_liam_eagen_msm_tpu.parallel.mesh import (
+        points_sharded_divisor_witness_a2a,
+    )
+
+    curve = PALLAS
+    E = ec(curve)
+    mesh = make_mesh(4)
+    n = 32  # top levels la=5 (ntt 16, switch point) and la=9 (ntt 32,
+    # exercising the reshard_double path between sharded levels)
+    pts_ints = pyref.random_points(rng, curve, n - 1)
+    res = pyref.ec_msm([1] * (n - 1), pts_ints, curve)
+    pts_ints.append(pyref.ec_neg(res, curve))
+    pts = E.points_from_ints(pts_ints)
+
+    wtns, out = points_sharded_divisor_witness_a2a(
+        curve, mesh, pts, dist_min_la=4, coeff_sharded=True)
+    assert bool(np.asarray(E.is_identity(out)).all())
+
+    ref_w, _ = compute_divisor_witness_partial(curve, pts)
+    assert np.array_equal(np.asarray(wtns.a), np.asarray(ref_w.a))
+    assert np.array_equal(np.asarray(wtns.b), np.asarray(ref_w.b))
+
+
 def test_sharded_msm_2d(rng):
     """Hierarchical (dcn, ici) mesh: ICI-local reduce, one point per slice
     over DCN — result equals the exact oracle."""

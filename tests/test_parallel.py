@@ -151,6 +151,47 @@ def test_points_sharded_witness_a2a(rng):
     assert np.array_equal(np.asarray(wtns.b), np.asarray(ref_w.b))
 
 
+@pytest.mark.medium
+def test_contiguous_shard_transform_primitives(rng):
+    """The sharded-coefficient merge's collective primitives, bit-exact on
+    the virtual mesh: fwd_from_contiguous / inv_to_contiguous (one
+    all_to_all replacing the replicated entry/exit) and reshard_double (the
+    two-ppermute level-to-level size doubling)."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from halo2_liam_eagen_msm_tpu.limbs import ints_to_mont_limbs
+    from halo2_liam_eagen_msm_tpu.ops.ntt import ntt_dif
+    from halo2_liam_eagen_msm_tpu.parallel import dist_ntt
+
+    curve = PALLAS
+    spec = curve.field
+    mesh = make_mesh(4)
+    D, logn = 4, 4  # n=16=D^2: smallest engaging size (compile budget)
+    n = 1 << logn
+    vals = [rng.randrange(spec.p) for _ in range(n)]
+    a = jnp.asarray(ints_to_mont_limbs(vals, spec))
+    dc = dist_ntt.dist_consts(spec, logn, 2)
+
+    # ONE shard_map (one XLA:CPU compile) covering all three primitives:
+    # fwd spectrum, fwd->inv roundtrip, and the ppermute-pair reshard
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P("data"),),
+             out_specs=(P("data"), P("data"), P("data")), check_vma=False)
+    def all_checks(ac):
+        sp = dist_ntt.fwd_from_contiguous(spec, ac, "data", D, dc)
+        back = dist_ntt.inv_to_contiguous(spec, sp, "data", D, dc)
+        return sp, back, dist_ntt.reshard_double(ac, "data", D)
+
+    sp, back, resharded = all_checks(a)
+    assert np.array_equal(np.asarray(sp), np.asarray(ntt_dif(spec, a)))
+    assert np.array_equal(np.asarray(back), np.asarray(a))
+    want = np.concatenate([np.asarray(a),
+                           np.zeros_like(np.asarray(a))], axis=0)
+    assert np.array_equal(np.asarray(resharded), want)
+
+
+@pytest.mark.slow
 def test_points_sharded_witness_coeff_sharded(rng):
     """coeff_sharded=True keeps level coefficients SHARDED between levels
     (dist_ntt.run_sharded_top_tree — the per-level all_gathers are replaced
